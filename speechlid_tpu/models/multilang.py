@@ -1,0 +1,292 @@
+"""Per-language CTC "expert" heads + language discriminator, TPU-first.
+
+Rebuild of the reference's joint LID+ASR model layer
+(lid/WavLMMutiLangModel.py, lid/Wav2vecMutiLangModel.py):
+
+- Reference: a python ``ModuleDict`` of per-language heads with *different*
+  vocab sizes, looped over at inference (``forward(lang=None)`` runs every
+  head, WavLMMutiLangModel.py:276-284).
+- Here: heads are **stacked weight tensors evaluated under ``nn.vmap``** —
+  all L languages run in ONE compiled graph (SURVEY.md §2.5 EP row).  Vocab
+  sizes are padded to max+1 with logit masks; the blank is unified at the
+  LAST padded index (CTC is blank-position agnostic; the reference's
+  per-language blank=V_l convention maps to ours by construction since we
+  train from scratch).
+- ``LangDiscriminator`` scoring (WavLMMutiLangModel.py:386-433): per
+  language, mean over *non-blank* argmax frames of the max log-softmax,
+  normalized by ln(V_l) — plus the vocab-size-corrected quadratic variant —
+  and a detached 2-layer MLP score head.
+
+Head flavours (matching the reference):
+- ``ConformerLinearHead``  (ConformerLinear, WavLMMutiLangModel.py:287-351)
+- ``BiLSTMLinearHead``     (LSTMLinear / ConformerLSTMLinear,
+                            Wav2vecMutiLangModel.py:262-291)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechlid_tpu.models.conformer import ConformerBlock
+
+Dtype = Any
+_NEG = jnp.finfo(jnp.float32).min
+
+
+class ConformerLinearHead(nn.Module):
+    """N ConformerBlocks → dropout → Dense(V+1)."""
+
+    vocab_size: int  # padded vocab WITHOUT blank; output dim = vocab_size + 1
+    linear_dim: int = 768
+    num_layers: int = 1
+    dropout: float = 0.0
+    dim_head: int = 32
+    num_head: int = 8
+    use_double_swish: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = ConformerBlock(
+                dim=self.linear_dim,
+                dim_head=self.dim_head,
+                heads=self.num_head,
+                use_double_swish=self.use_double_swish,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, mask, deterministic)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.vocab_size + 1, dtype=self.dtype)(x)
+
+
+class BiLSTMLinearHead(nn.Module):
+    """Bidirectional LSTM (hidden = dim//2 per direction) → Dense(V+1),
+    matching torch.nn.LSTM(bidirectional=True) + Linear on packed sequences."""
+
+    vocab_size: int
+    linear_dim: int = 768
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths=None, deterministic: bool = True):
+        hidden = self.linear_dim // 2
+        for i in range(self.num_layers):
+            bi = nn.Bidirectional(
+                nn.RNN(nn.OptimizedLSTMCell(hidden)),
+                nn.RNN(nn.OptimizedLSTMCell(hidden)),
+                name=f"bilstm_{i}",
+            )
+            x = bi(x, seq_lengths=lengths)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.vocab_size + 1, dtype=self.dtype)(x)
+
+
+class MultiLangHeadStack(nn.Module):
+    """All language heads as one vmapped module.
+
+    Input (B, T, D) → logits (L, B, T, V_max+1); invalid vocab slots (ids in
+    [V_l, V_max)) are masked to -inf so soft/log-softmax and argmax behave as
+    per-language (V_l+1)-way heads.  Blank is index V_max for every language.
+    """
+
+    vocab_sizes: Sequence[int]  # true per-language vocab sizes (no blank)
+    head_type: str = "conformer_linear"  # or "bilstm"
+    linear_dim: int = 768
+    num_layers: int = 1
+    dropout: float = 0.0
+    dim_head: int = 32
+    num_head: int = 8
+    use_double_swish: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def vocab_max(self) -> int:
+        return int(max(self.vocab_sizes))
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, T, D)
+        lengths: Optional[jax.Array] = None,  # (B,) frames
+        deterministic: bool = True,
+    ) -> jax.Array:
+        n_lang = len(self.vocab_sizes)
+        vmax = self.vocab_max
+        mask = None
+        if lengths is not None:
+            mask = jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+
+        # NOTE: nn.vmap drops kwargs — every argument must be positional.
+        if self.head_type == "bilstm":
+            head_cls = nn.vmap(
+                BiLSTMLinearHead,
+                in_axes=(None, None, None),
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                axis_size=n_lang,
+            )
+            head = head_cls(
+                vocab_size=vmax, linear_dim=self.linear_dim,
+                num_layers=self.num_layers, dropout=self.dropout,
+                dtype=self.dtype, name="heads",
+            )
+            logits = head(x, lengths, deterministic)
+        else:
+            head_cls = nn.vmap(
+                ConformerLinearHead,
+                in_axes=(None, None, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                axis_size=n_lang,
+            )
+            head = head_cls(
+                vocab_size=vmax, linear_dim=self.linear_dim,
+                num_layers=self.num_layers, dropout=self.dropout,
+                dim_head=self.dim_head, num_head=self.num_head,
+                use_double_swish=self.use_double_swish,
+                dtype=self.dtype, name="heads",
+            )
+            logits = head(x, mask, deterministic)
+
+        # (L, B, T, vmax+1): mask padded vocab ids per language
+        sizes = jnp.asarray(list(self.vocab_sizes))[:, None, None, None]
+        vocab_ids = jnp.arange(vmax + 1)[None, None, None, :]
+        valid = (vocab_ids < sizes) | (vocab_ids == vmax)  # chars ∪ blank
+        return jnp.where(valid, logits, _NEG)
+
+
+def lang_confidence_scores(
+    logits: jax.Array,  # (L, B, T, V+1) — blank last
+    vocab_sizes: jax.Array,  # (L,) true sizes
+    lengths: Optional[jax.Array] = None,  # (B,) valid frames
+    corrected: bool = False,
+) -> jax.Array:
+    """Confidence score per (utterance, language), (B, L).
+
+    Reference formula (WavLMMutiLangModel.py:410-427): over frames whose
+    argmax is NOT blank, mean of max log-softmax; normalized by ln(V_l)
+    (``corrected=False``), or exp-mean with the quadratic vocab-size
+    correction fit through (1/Nb, 1/Nb²·a+…) and (1, 1)
+    (``corrected=True``, WavLMMutiLangModel.py:420-427).
+    """
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    max_value = jnp.max(lp, axis=-1)  # (L, B, T)
+    argmax = jnp.argmax(lp, axis=-1)
+    blank = logits.shape[-1] - 1
+    nonblank = argmax != blank
+    if lengths is not None:
+        frame_ok = jnp.arange(logits.shape[2])[None, :] < lengths[:, None]  # (B,T)
+        nonblank = nonblank & frame_ok[None, :, :]
+    cnt = jnp.sum(nonblank, axis=-1).astype(jnp.float32)  # (L, B)
+    total = jnp.sum(jnp.where(nonblank, max_value, 0.0), axis=-1)  # (L, B)
+    v = vocab_sizes.astype(jnp.float32)[:, None]
+    if not corrected:
+        score = total / (cnt * jnp.log(v) + 1e-5)
+    else:
+        nb = jnp.max(vocab_sizes) + 1
+        conf = jnp.exp(total / (cnt + 1e-5))
+        a = (nb - v - 1.0) / nb
+        b = (1.0 + v) / nb
+        score = a * conf**2 + b * conf
+    return jnp.transpose(score)  # (B, L)
+
+
+class LangDiscriminatorMLP(nn.Module):
+    """2-layer MLP refining the (detached) confidence vector
+    (WavLMMutiLangModel.py:397-402)."""
+
+    n_lang: int
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, scores: jax.Array) -> jax.Array:  # (B, L)
+        x = jax.lax.stop_gradient(scores)
+        x = nn.Dense(self.hidden_dim)(x)
+        x = jax.nn.relu(x)
+        return nn.Dense(self.n_lang)(x)
+
+
+class MutiLangModel(nn.Module):
+    """Featurizer + stacked per-language CTC heads + discriminator.
+
+    The TPU equivalent of WavLMMutiLangModel / Wav2vecMutiLangModel /
+    ConformerMutiLangModel: ``featurizer`` is any module mapping
+    (wav/feats, lengths) → (B, T', D) with a ``subsampled_lengths`` —
+    passed in pre-built so this class stays featurizer-agnostic.
+
+    __call__ returns (logits (L, B, T', V+1), feat_lengths (B,)).
+
+    Initialize with ``method=MutiLangModel.infer`` so the discriminator MLP
+    params are created too (plain ``__call__`` never touches them).
+    """
+
+    featurizer: nn.Module
+    vocab_sizes: Sequence[int]
+    head_type: str = "conformer_linear"
+    linear_dim: int = 768
+    num_layers: int = 1
+    dropout: float = 0.0
+    dim_head: int = 32
+    num_head: int = 8
+    use_double_swish: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.heads = MultiLangHeadStack(
+            vocab_sizes=self.vocab_sizes,
+            head_type=self.head_type,
+            linear_dim=self.linear_dim,
+            num_layers=self.num_layers,
+            dropout=self.dropout,
+            dim_head=self.dim_head,
+            num_head=self.num_head,
+            use_double_swish=self.use_double_swish,
+            dtype=self.dtype,
+        )
+        self.discriminator = LangDiscriminatorMLP(n_lang=len(self.vocab_sizes))
+
+    def __call__(
+        self,
+        x: jax.Array,
+        lengths: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        feats = self.featurizer(x, lengths, deterministic=deterministic)
+        feat_lengths = (
+            None if lengths is None
+            else self.featurizer.subsampled_lengths(lengths)
+        )
+        logits = self.heads(feats, feat_lengths, deterministic=deterministic)
+        return logits, feat_lengths
+
+    def discriminate(self, scores: jax.Array) -> jax.Array:
+        return self.discriminator(scores)
+
+    def infer(
+        self, x: jax.Array, lengths: Optional[jax.Array] = None
+    ) -> Dict[str, jax.Array]:
+        """All-language inference (reference forward(lang=None) +
+        LangDiscriminator): returns dict with logits, confidence scores,
+        mlp scores, predicted lang."""
+        logits, feat_lengths = self(x, lengths, deterministic=True)
+        scores = lang_confidence_scores(
+            logits, jnp.asarray(list(self.vocab_sizes)), feat_lengths
+        )
+        mlp_scores = self.discriminator(scores)
+        return {
+            "logits": logits,
+            "feat_lengths": feat_lengths,
+            "scores": scores,
+            "mlp_scores": mlp_scores,
+            "pred_lang": jnp.argmax(scores, axis=-1),
+        }

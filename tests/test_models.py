@@ -1,0 +1,175 @@
+"""Model layer tests: shapes, length arithmetic, masking behavior, jit."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechlid_tpu.models.conformer import (
+    ConformerBlock,
+    ConformerModel,
+    Conv1dSubSampling2,
+    Conv2dSubsampling,
+    FBankLayer,
+)
+from speechlid_tpu.models.pooling import (
+    ASTP,
+    MHASTP,
+    MQMHASTP,
+    TAP,
+    TSTP,
+    pooling_out_dim,
+)
+from speechlid_tpu.models.resnet import ResNet18, ResNet34
+from speechlid_tpu.models.xvector import XVEC
+
+
+def _keys():
+    k = jax.random.PRNGKey(0)
+    return {"params": k, "dropout": k, "specaug": k, "stochastic_depth": k}
+
+
+class TestConformer:
+    def test_block_shape(self):
+        m = ConformerBlock(dim=144, heads=4)
+        x = jnp.zeros((2, 50, 144))
+        params = m.init(_keys(), x)
+        y = m.apply(params, x)
+        assert y.shape == (2, 50, 144)
+
+    def test_model_subsampling_2_and_4(self):
+        for sub, t_out in [(2, 51), (4, 24)]:
+            m = ConformerModel(n_blocks=2, encoder_dim=64, heads=2, dim_head=32,
+                               sub_sampling=sub)
+            x = jnp.zeros((2, 101, 80))
+            lengths = jnp.asarray([101, 60])
+            params = m.init(_keys(), x, lengths)
+            y = m.apply(params, x, lengths)
+            assert y.shape[0] == 2 and y.shape[2] == 64
+            assert y.shape[1] == t_out
+            # length arithmetic matches reference formulas
+            sl = np.asarray(m.subsampled_lengths(lengths))
+            if sub == 2:
+                np.testing.assert_array_equal(sl, [(101 - 1) // 2 + 1, (60 - 1) // 2 + 1])
+            else:
+                np.testing.assert_array_equal(
+                    sl, [((101 - 1) // 2 - 1) // 2, ((60 - 1) // 2 - 1) // 2]
+                )
+
+    def test_padding_invariance_with_mask(self):
+        """Valid-frame outputs must not depend on padded frame content.
+        (Holds for attention via masking; conv/BN stay local in eval mode —
+        allow tolerance for the depthwise conv boundary frames.)"""
+        m = ConformerModel(n_blocks=1, encoder_dim=32, heads=2, dim_head=16,
+                           sub_sampling=2, use_stochastic_depth=False)
+        rng = np.random.RandomState(0)
+        x1 = rng.randn(1, 101, 80).astype(np.float32)
+        x2 = x1.copy()
+        x2[:, 60:, :] = 99.0  # garbage in padding
+        lengths = jnp.asarray([60])
+        params = m.init(_keys(), jnp.asarray(x1), lengths)
+        y1 = np.asarray(m.apply(params, jnp.asarray(x1), lengths))
+        y2 = np.asarray(m.apply(params, jnp.asarray(x2), lengths))
+        valid = (60 - 1) // 2 + 1
+        # interior frames (depthwise conv k31 'same' halo = 15 frames)
+        interior = valid - 16
+        np.testing.assert_allclose(
+            y1[:, :interior], y2[:, :interior], rtol=1e-4, atol=1e-4
+        )
+
+    def test_stochastic_depth_changes_with_key(self):
+        m = ConformerModel(n_blocks=4, encoder_dim=32, heads=2, dim_head=16,
+                           stochastic_depth_p=0.3)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 41, 80), jnp.float32)
+        params = m.init(_keys(), x)
+        outs = []
+        for seed in range(3):
+            k = jax.random.PRNGKey(seed)
+            y = m.apply(
+                params, x, deterministic=False,
+                rngs={"dropout": k, "stochastic_depth": k},
+                mutable=["batch_stats"],
+            )[0]
+            outs.append(np.asarray(y))
+        assert not np.allclose(outs[0], outs[1])
+
+    def test_fbank_layer(self):
+        m = FBankLayer()
+        wav = jnp.asarray(np.random.RandomState(0).randn(2, 16000), jnp.float32)
+        params = m.init(_keys(), wav)
+        feats = m.apply(params, wav)
+        assert feats.shape == (2, 101, 80)
+        # training mode applies specaug → some zeros
+        feats_tr = m.apply(params, wav, deterministic=False,
+                           rngs={"specaug": jax.random.PRNGKey(1)})
+        assert (np.asarray(feats_tr) == 0).any()
+
+
+class TestPooling:
+    @pytest.mark.parametrize("cls,kw", [
+        (TAP, {}), (TSTP, {}), (ASTP, {}),
+        (MHASTP, {"head_num": 2}), (MQMHASTP, {"head_num": 8}),
+    ])
+    def test_shapes_and_masking(self, cls, kw):
+        m = cls(**kw)
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 30, 64).astype(np.float32)
+        mask = np.zeros((2, 30), bool)
+        mask[0, :30] = True
+        mask[1, :20] = True
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))
+        out = m.apply(params, jnp.asarray(x), jnp.asarray(mask))
+        expected = pooling_out_dim(type(m).__name__, 64)
+        assert out.shape == (2, expected)
+        # masked stats must equal stats of the truncated sequence
+        out_trunc = m.apply(params, jnp.asarray(x[1:, :20]), None)
+        np.testing.assert_allclose(
+            np.asarray(out)[1], np.asarray(out_trunc)[0], rtol=1e-4, atol=1e-5
+        )
+
+    def test_tstp_values(self):
+        x = np.asarray([[[1.0, 2.0], [3.0, 4.0]]], np.float32)  # (1, T=2, F=2)
+        m = TSTP()
+        out = np.asarray(m.apply(m.init(jax.random.PRNGKey(0), jnp.asarray(x)),
+                                 jnp.asarray(x)))
+        np.testing.assert_allclose(out[0, :2], [2.0, 3.0], atol=1e-6)
+        np.testing.assert_allclose(out[0, 2:], [1.0, 1.0], atol=1e-3)
+
+
+class TestXVEC:
+    def test_shapes_and_lengths(self):
+        m = XVEC(feat_dim=80, embed_dim=512)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 200, 80), jnp.float32)
+        lengths = jnp.asarray([200, 150])
+        params = m.init(jax.random.PRNGKey(0), x, lengths)
+        ea, eb = m.apply(params, x, lengths)
+        assert ea.shape == (2, 512) and eb.shape == (2, 512)
+        # receptive field: 200 - 4 - 4 - 6 = 186
+        np.testing.assert_array_equal(np.asarray(m.out_lengths(lengths)), [186, 136])
+
+    def test_train_mode_updates_batch_stats(self):
+        m = XVEC(feat_dim=24, hid_dim=32, stats_dim=48, embed_dim=16)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 50, 24), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x, train=True)
+        (_, _), new_state = m.apply(params, x, train=True, mutable=["batch_stats"])
+        old = jax.tree_util.tree_leaves(params["batch_stats"])
+        new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+        assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+class TestResNet:
+    def test_resnet18_shapes(self):
+        m = ResNet18(feat_dim=80, embed_dim=128)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 80), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        ea, eb = m.apply(params, x)
+        assert ea.shape == (2, 128) and eb.shape == (2, 128)
+
+    def test_resnet34_jit(self):
+        m = ResNet34(feat_dim=40, embed_dim=64)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 48, 40), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        apply = jax.jit(lambda p, x: m.apply(p, x))
+        ea, eb = apply(params, x)
+        assert eb.shape == (1, 64)
