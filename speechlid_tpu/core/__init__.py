@@ -16,3 +16,12 @@ from speechlid_tpu.core.seed import seed_everything
 from speechlid_tpu.core.profile import TimeCostRecoder, register_cost_statistic
 from speechlid_tpu.core.cache import cacheable, TimeUnit
 from speechlid_tpu.core.config import load_config, ConfigDict
+from speechlid_tpu.core.state import TrainState
+from speechlid_tpu.core.module import TaskModule
+from speechlid_tpu.core.trainer import Trainer
+from speechlid_tpu.core.checkpoint import (
+    load_checkpoint,
+    restore_params,
+    restore_state,
+    save_checkpoint,
+)

@@ -1,0 +1,81 @@
+"""Optimizer factory: name + config → optax chain with clipping & schedule.
+
+Mirrors the reference agents' ``config_optim`` patterns
+(lid/LidModule_ASR.py:140-172: Adam or Novograd + TriStage/cosine/plateau,
+grad-clip 20 applied by the trainer at ccml/trainer.py:541).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import optax
+
+from speechlid_tpu.core.optim.novograd import novograd
+from speechlid_tpu.core.optim.schedules import (
+    ReduceLROnPlateau,
+    cosine_annealing_warmup_restarts,
+    tristage_schedule,
+)
+
+
+def make_optimizer(
+    name: str = "adam",
+    lr: float = 1e-3,
+    weight_decay: float = 0.0,
+    clip_norm: Optional[float] = 20.0,
+    schedule: Optional[str] = None,
+    schedule_conf: Optional[Dict[str, Any]] = None,
+    optim_conf: Optional[Dict[str, Any]] = None,
+) -> Tuple[optax.GradientTransformation, Optional[ReduceLROnPlateau]]:
+    """Returns (tx, plateau_or_None).
+
+    schedule: None | 'tristage' | 'cosine' | 'plateau'.  For 'plateau' the
+    lr is exposed as an injectable hyperparam (host updates
+    ``opt_state.hyperparams['learning_rate']`` after each eval epoch).
+    """
+    schedule_conf = dict(schedule_conf or {})
+    optim_conf = dict(optim_conf or {})
+    plateau = None
+
+    if schedule == "tristage":
+        lr_or_sched = tristage_schedule(lr=lr, **schedule_conf)
+    elif schedule == "cosine":
+        schedule_conf.setdefault("max_lr", lr)
+        lr_or_sched = cosine_annealing_warmup_restarts(**schedule_conf)
+    elif schedule == "plateau":
+        plateau = ReduceLROnPlateau(lr=lr, **schedule_conf)
+        lr_or_sched = lr
+    else:
+        lr_or_sched = lr
+
+    def core(learning_rate):
+        if name == "adam":
+            return optax.adam(learning_rate, **optim_conf)
+        if name == "adamw":
+            return optax.adamw(
+                learning_rate, weight_decay=weight_decay, **optim_conf
+            )
+        if name == "sgd":
+            return optax.sgd(learning_rate, **optim_conf)
+        if name == "novograd":
+            return novograd(
+                learning_rate, weight_decay=weight_decay, **optim_conf
+            )
+        raise ValueError(f"unknown optimizer: {name}")
+
+    if plateau is not None:
+        inner = optax.inject_hyperparams(
+            lambda learning_rate: core(learning_rate)
+        )(learning_rate=lr)
+    else:
+        inner = core(lr_or_sched)
+
+    chain = []
+    if clip_norm:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+    chain.append(inner)
+    if name == "adam" and weight_decay and schedule != "plateau":
+        # torch Adam's weight_decay is L2 on the gradient — emulate
+        chain.insert(0, optax.add_decayed_weights(weight_decay))
+    return optax.chain(*chain), plateau

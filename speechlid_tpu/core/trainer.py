@@ -1,0 +1,445 @@
+"""Trainer — host-side epoch loop driving jitted TPU steps.
+
+Rebuild of the reference Trainer (ccml/trainer.py:19-795) as a functional
+core: the mutable torch loop (model.to(cuda), DDP wrap, GradScaler, in-place
+optimizer) becomes ONE jitted, donated ``train_step`` over a TrainState
+pytree, with the host loop handling only data feeding, callbacks, logging,
+checkpointing and LR plateau logic.
+
+Feature parity map (reference → here):
+- AMP autocast/GradScaler (trainer.py:121,514-545)  → bf16 model dtype; no scaler
+- grad accumulation + DDP no_sync (:505-532)        → optax.MultiSteps
+- grad clip 20 (:541)                               → optax.clip_by_global_norm in tx
+- DDP/SyncBN/fp16 hook (:358-437)                   → jit over a Mesh: batch sharded on
+  the 'data' axis, state replicated; XLA inserts the gradient all-reduce
+  (bf16 grads ≈ the fp16 compression hook); batch-norm over the global batch
+- DistributedSampler (:274-278)                     → per-process feeder sharding
+- SWA (:419-425,574-580,647-665)                    → TrainState.swa_update + BN pass
+- train_data_factor epoch truncation (:498-499)     → same
+- eval every eval_interval (:591)                   → same
+- resume (:699-748)                                 → restore_state + meta
+- freeze schedules via requires_grad                → trainable-mask pytree from
+  module.before_train_loop, masking grads AND updates (optimizer moments for
+  frozen leaves keep decaying — documented divergence)
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from speechlid_tpu.core.callbacks.base import Callback
+from speechlid_tpu.core.callbacks.ckpt import CkptCallback
+from speechlid_tpu.core.checkpoint import load_checkpoint, restore_state
+from speechlid_tpu.core.loggers.multiplexer import Logger
+from speechlid_tpu.core.module import TaskModule
+from speechlid_tpu.core.profile import _time_cost_recoder
+from speechlid_tpu.core.seed import seed_everything
+from speechlid_tpu.core.state import TrainState
+
+
+def _all_ones_like(tree):
+    return jax.tree_util.tree_map(lambda x: jnp.ones((), jnp.float32), tree)
+
+
+class Trainer:
+    def __init__(
+        self,
+        total_epoch: int = 10,
+        accum_grad: int = 1,
+        eval_interval: int = 1,
+        train_data_factor: float = 1.0,
+        use_swa: bool = False,
+        swa_start_ratio: float = 0.7,
+        lr_exec_mode: str = "step",  # 'step' | 'epoch' (plateau on eval loss)
+        seed: int = 0,
+        callbacks: Optional[Sequence[Callback]] = None,
+        loggers: Optional[Logger] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        data_axis: str = "data",
+        checkpoint_path: Optional[str] = None,  # resume source
+        use_progress_bar: bool = True,
+        log_interval: int = 10,
+    ) -> None:
+        self.total_epoch = total_epoch
+        self.accum_grad = accum_grad
+        self.eval_interval = eval_interval
+        self.train_data_factor = train_data_factor
+        self.use_swa = use_swa
+        self.swa_start_ratio = swa_start_ratio
+        self.lr_exec_mode = lr_exec_mode
+        self.seed = seed
+        self.callbacks = list(callbacks or [])
+        self.logger = loggers or Logger()
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.checkpoint_path = checkpoint_path
+        self.use_progress_bar = use_progress_bar
+        self.log_interval = log_interval
+
+        self.module: Optional[TaskModule] = None
+        self.state: Optional[TrainState] = None
+        self.start_epoch = 0
+        self.global_step = 0
+        self.plateau = None
+        self._mask = None
+        self._train_step = None
+        self._eval_step = None
+        self._moving_eval_loss: Optional[float] = None
+
+    # ------------------------------------------------------------------ setup
+    def trainer_prepare(self, module: TaskModule, sample_batch) -> None:
+        """Init model variables, optimizer, jitted steps (reference
+        trainer_prepare, trainer.py:135-239)."""
+        self.module = module
+        module.trainer = self
+        root = seed_everything(self.seed)
+        init_rng, state_rng = jax.random.split(root)
+
+        variables = module.init_variables(init_rng, sample_batch)
+        params = variables.pop("params")
+        model_state = dict(variables)
+
+        tx, self.plateau = module.config_optim()
+        if self.accum_grad > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accum_grad)
+        self.tx = tx
+        opt_state = tx.init(params)
+
+        self.state = TrainState.create(
+            params, model_state, opt_state, state_rng, swa=self.use_swa
+        )
+        self._mask = _all_ones_like(params)
+        self._build_steps()
+        self._place_state()
+
+        if self.checkpoint_path:
+            self._resume(self.checkpoint_path)
+
+        n_params = sum(
+            x.size for x in jax.tree_util.tree_leaves(self.state.params)
+        )
+        logging.info("model parameters: %.2f M", n_params / 1e6)
+
+    def _build_steps(self) -> None:
+        module = self.module
+        tx = self.tx
+        rng_names = tuple(module.rng_keys)
+
+        def train_step(state: TrainState, batch, mask):
+            rng, step_rng = jax.random.split(state.rng)
+            rngs = {
+                name: jax.random.fold_in(step_rng, i)
+                for i, name in enumerate(rng_names)
+            }
+
+            def loss_fn(params):
+                variables = {"params": params, **(state.model_state or {})}
+                loss, metrics, mutated = module.train_loop(variables, batch, rngs)
+                return loss, (metrics, mutated)
+
+            (loss, (metrics, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                model_state=mutated if mutated else state.model_state,
+                rng=rng,
+            )
+            return new_state, metrics
+
+        def eval_step(state: TrainState, batch):
+            variables = {"params": state.params, **(state.model_state or {})}
+            return module.val_loop(variables, batch)
+
+        def test_step(state: TrainState, batch):
+            variables = {"params": state.params, **(state.model_state or {})}
+            return module.test_loop(variables, batch)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+        self._test_step = jax.jit(test_step)
+
+    # ----------------------------------------------------------- distribution
+    def _place_state(self) -> None:
+        """Replicate state across the mesh (data-parallel)."""
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, replicated)
+
+    def _place_batch(self, batch):
+        """Host numpy batch → device, sharded on the leading axis over the
+        data mesh axis (the DistributedSampler + H2D copy analog,
+        trainer.py:274,777)."""
+        with _time_cost_recoder.measure("batch_to_device"):
+            if self.mesh is None:
+                return jax.tree_util.tree_map(jnp.asarray, batch)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(self.data_axis))
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), sharding), batch
+            )
+
+    # ------------------------------------------------------------------ train
+    def fit(
+        self,
+        ccml_module: TaskModule,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+    ) -> None:
+        """Reference Trainer.fit (trainer.py:439-665)."""
+        first_batch = next(iter(train_loader))
+        self.trainer_prepare(ccml_module, first_batch)
+        for cb in self.callbacks:
+            cb.add_trainer(self)
+        self.logger.init(
+            run_name=type(ccml_module).__name__,
+            config=ccml_module.hyper_parameters,
+        )
+
+        swa_start = int(self.total_epoch * self.swa_start_ratio)
+        for epoch in range(self.start_epoch, self.total_epoch):
+            for cb in self.callbacks:
+                cb.before_train_epoch(epoch)
+            new_mask = self.module.before_train_loop(epoch)
+            if new_mask is not None:
+                self._mask = new_mask
+
+            train_metrics = self._run_train_epoch(epoch, train_loader)
+
+            if self.use_swa and epoch >= swa_start:
+                self.state = self.state.swa_update()
+
+            for cb in self.callbacks:
+                cb.after_train_epoch(epoch, train_metrics)
+            self.logger.log(train_metrics, step=self.global_step)
+
+            if val_loader is not None and (epoch + 1) % self.eval_interval == 0:
+                eval_metrics = self._run_eval_epoch(val_loader)
+                self.logger.log(eval_metrics, step=self.global_step)
+                self._epoch_lr_update(eval_metrics)
+                for cb in self.callbacks:
+                    cb.after_eval_epoch(epoch, eval_metrics)
+
+        if self.use_swa:
+            self._finalize_swa(train_loader)
+
+    def _run_train_epoch(self, epoch: int, loader: Iterable) -> Dict[str, float]:
+        outputs: List[Dict] = []
+        n_batches = None
+        if hasattr(loader, "__len__"):
+            n_batches = max(1, int(len(loader) * self.train_data_factor))
+        it = iter(loader)
+        bar = None
+        if self.use_progress_bar and jax.process_index() == 0:
+            from tqdm import tqdm
+
+            bar = tqdm(total=n_batches, desc=f"epoch {epoch}", leave=False)
+        i = 0
+        pending = None  # overlap host metric fetch with next device step
+        while True:
+            if n_batches is not None and i >= n_batches:
+                break
+            with _time_cost_recoder.measure("get_batch"):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+            batch = self._place_batch(batch)
+            with _time_cost_recoder.measure("train_step_dispatch"):
+                self.state, metrics = self._train_step(
+                    self.state, batch, self._mask
+                )
+            if pending is not None:
+                self._collect_train_metrics(pending, outputs, bar)
+            pending = metrics
+            self.global_step += 1
+            i += 1
+        if pending is not None:
+            self._collect_train_metrics(pending, outputs, bar)
+        if bar is not None:
+            bar.close()
+        return self.module.train_loop_end(outputs)
+
+    def _collect_train_metrics(self, metrics, outputs, bar) -> None:
+        host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        outputs.append(host)
+        if bar is not None:
+            bar.update(1)
+            if len(outputs) % self.log_interval == 0:
+                bar.set_postfix(
+                    {k: f"{v:.4g}" for k, v in host.items() if np.isfinite(v)}
+                )
+        for cb in self.callbacks:
+            cb.after_train_loop(self.global_step, host)
+        self.logger.log(host, step=self.global_step, is_train=True)
+
+    def _run_eval_epoch(self, loader: Iterable) -> Dict[str, float]:
+        outputs: List[Dict] = []
+        for batch in loader:
+            batch = self._place_batch(batch)
+            metrics = self._eval_step(self.state, batch)
+            host = {
+                k: np.asarray(v) for k, v in jax.device_get(metrics).items()
+            }
+            host = {
+                k: (float(v) if v.ndim == 0 else v) for k, v in host.items()
+            }
+            outputs.append(host)
+            for cb in self.callbacks:
+                cb.after_eval_loop(host)
+        return self.module.val_loop_end(outputs)
+
+    # ------------------------------------------------------------------- test
+    def test(self, ccml_module: TaskModule, test_loader: Iterable) -> Dict:
+        """Reference Trainer.test (trainer.py:668-697)."""
+        if self.module is None:
+            first_batch = next(iter(test_loader))
+            self.trainer_prepare(ccml_module, first_batch)
+        outputs: List[Dict] = []
+        for batch in test_loader:
+            batch = self._place_batch(batch)
+            metrics = self._test_step(self.state, batch)
+            host = {
+                k: np.asarray(v) for k, v in jax.device_get(metrics).items()
+            }
+            outputs.append(
+                {k: (float(v) if v.ndim == 0 else v) for k, v in host.items()}
+            )
+        result = self.module.test_loop_end(outputs)
+        for cb in self.callbacks:
+            cb.test_loop_end(result)
+        self.logger.log(result, step=self.global_step)
+        return result
+
+    # --------------------------------------------------------------------- lr
+    def current_lr(self) -> float:
+        if self.plateau is not None:
+            return self.plateau.lr
+        # schedule-driven: report from the schedule at the current step
+        try:
+            sched = getattr(self.module, "lr_schedule", None)
+            if sched is not None:
+                return float(sched(int(self.state.step)))
+        except Exception:
+            pass
+        # constant-lr fallback: the module's configured base lr
+        lr = getattr(self.module, "lr", None)
+        return float(lr) if lr is not None else float("nan")
+
+    def _epoch_lr_update(self, eval_metrics: Dict[str, float]) -> None:
+        """Plateau mode: reduce lr on the eval moving-average loss
+        (trainer.py:620-634)."""
+        if self.lr_exec_mode != "epoch" or self.plateau is None:
+            return
+        loss = eval_metrics.get("avg_val_loss")
+        if loss is None or not math.isfinite(loss):
+            return
+        if self._moving_eval_loss is None:
+            self._moving_eval_loss = loss
+        else:
+            self._moving_eval_loss = 0.9 * self._moving_eval_loss + 0.1 * loss
+        new_lr = self.plateau.step(self._moving_eval_loss)
+        self.state = self.state.replace(
+            opt_state=self._set_injected_lr(self.state.opt_state, new_lr)
+        )
+
+    @staticmethod
+    def _set_injected_lr(opt_state, lr: float):
+        """Walk the optax state tree and set any InjectHyperparamsState lr."""
+
+        def visit(node):
+            if hasattr(node, "hyperparams") and "learning_rate" in getattr(
+                node, "hyperparams", {}
+            ):
+                hp = dict(node.hyperparams)
+                hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+                return node._replace(hyperparams=hp)
+            if isinstance(node, tuple) and hasattr(node, "_fields"):
+                return node._replace(
+                    **{f: visit(getattr(node, f)) for f in node._fields}
+                )
+            if isinstance(node, tuple):
+                return tuple(visit(x) for x in node)
+            return node
+
+        return visit(opt_state)
+
+    # -------------------------------------------------------------------- swa
+    def _finalize_swa(self, train_loader: Iterable) -> None:
+        """Swap in averaged weights and re-estimate BN statistics with one
+        pass over training data (trainer.py:647-665)."""
+        logging.info("SWA: swapping averaged weights, re-estimating BN stats")
+        self.state = self.state.replace(params=self.state.swa_params)
+        if not self.state.model_state or "batch_stats" not in (
+            self.state.model_state or {}
+        ):
+            return
+        bn_fn = getattr(self.module, "bn_update_loop", None)
+        if bn_fn is None:
+            return
+        jit_bn = jax.jit(
+            lambda state, batch: bn_fn(
+                {"params": state.params, **state.model_state}, batch
+            )
+        )
+        for batch in train_loader:
+            batch = self._place_batch(batch)
+            new_stats = jit_bn(self.state, batch)
+            ms = dict(self.state.model_state)
+            ms["batch_stats"] = new_stats
+            self.state = self.state.replace(model_state=ms)
+        for cb in self.callbacks:
+            if isinstance(cb, CkptCallback):
+                cb.save_swa(self.total_epoch, {})
+
+    # ----------------------------------------------------------------- resume
+    def checkpoint_meta(self, epoch: int, metrics: Dict) -> Dict:
+        return {
+            "epoch": epoch,
+            "global_step": self.global_step,
+            "metrics": {k: v for k, v in metrics.items() if np.isscalar(v)},
+            "hyper_parameters": self.module.hyper_parameters
+            if self.module
+            else {},
+            "logger": self.logger.state_dict(),
+            "plateau": self.plateau.state_dict() if self.plateau else None,
+            "moving_eval_loss": self._moving_eval_loss,
+        }
+
+    def _resume(self, path: str) -> None:
+        """Training resume (reference trainer.py:699-748): restore state +
+        epoch + logger counters + plateau."""
+        payload = load_checkpoint(path)
+        self.state = restore_state(self.state, payload)
+        self._place_state()
+        meta = payload.get("meta", {})
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.global_step = int(meta.get("global_step", 0))
+        if meta.get("logger"):
+            self.logger.load_state_dict(meta["logger"])
+        if self.plateau is not None and meta.get("plateau"):
+            self.plateau.load_state_dict(meta["plateau"])
+        self._moving_eval_loss = meta.get("moving_eval_loss")
+        logging.info("resumed from %s at epoch %d", path, self.start_epoch)

@@ -1,0 +1,9 @@
+"""Mesh construction + sharded training transforms (reference: the DDP
+machinery in ccml/trainer.py:358-437 — see SURVEY.md §2.5 for the mapping).
+"""
+
+from speechlid_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)

@@ -1,0 +1,45 @@
+"""Device mesh helpers.
+
+The reference's distribution model is per-process DDP over
+gloo/nccl rendezvous (ccml/trainer.py:358-380).  TPU-native: ONE program,
+a ``jax.sharding.Mesh`` whose 'data' axis carries data parallelism (grad
+all-reduce rides ICI) and whose optional 'model' axis is reserved for
+tensor-parallel layouts.  Multi-host: ``jax.distributed.initialize`` is the
+rendezvous (env:// analog); each process feeds its local shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh.  data=None → all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch sharded along its leading axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
