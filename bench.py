@@ -1,0 +1,112 @@
+"""Benchmark: 3 s-clip LID inference throughput per chip.
+
+Driver-facing: prints ONE JSON line
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+Metric (BASELINE.json): utterances/sec/chip on 3 s clips through the
+flagship joint LID model (frontend → Conformer encoder → ALL language heads
+→ confidence scores, i.e. the reference's full ``LidModule.infer`` with
+``lang=None``).  The reference publishes no number (SURVEY.md §6) and its
+torch stack can't run in this image, so ``vs_baseline`` is measured against
+this machine's CPU running the SAME compiled graph — the closest available
+"CPU reference" per BASELINE.md's measure-don't-copy policy.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench_on(device_kind: str, batch: int = 32, iters: int = 30):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from speechlid_tpu.models.multilang import MutiLangModel
+    from speechlid_tpu.ops.frontend import frame_lengths, normalize_wav, wav2mel
+
+    try:
+        dev = jax.devices(device_kind)
+    except RuntimeError:
+        dev = [d for d in jax.devices() if d.platform == device_kind]
+    if not dev:
+        return None
+    device = dev[0]
+
+    model = _flagship(n_lang=3)
+    t = 48000  # 3 s @ 16 kHz
+    rng = np.random.RandomState(0)
+    wavs_h = rng.randn(batch, t).astype(np.float32) * 0.1
+    lengths_h = np.full((batch,), t, np.int32)
+
+    with jax.default_device(device):
+        wavs = jnp.asarray(wavs_h)
+        lengths = jnp.asarray(lengths_h)
+        mel = jnp.transpose(
+            wav2mel(normalize_wav(wavs, lengths), lengths=lengths), (0, 2, 1)
+        )
+        f_len = frame_lengths(lengths, 160)
+        key = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": key, "dropout": key, "stochastic_depth": key},
+            mel, f_len, method=MutiLangModel.infer,
+        )
+
+        @jax.jit
+        def infer(variables, wavs, lengths):
+            mel = jnp.transpose(
+                wav2mel(normalize_wav(wavs, lengths), lengths=lengths),
+                (0, 2, 1),
+            )
+            f_len = frame_lengths(lengths, 160)
+            out = model.apply(
+                variables, mel, f_len, method=MutiLangModel.infer
+            )
+            return out["scores"], out["pred_lang"]
+
+        # warmup/compile
+        jax.block_until_ready(infer(variables, wavs, lengths))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = infer(variables, wavs, lengths)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main() -> None:
+    import jax
+
+    platforms = {d.platform for d in jax.devices()}
+    accel = next(
+        (p for p in ("tpu", "axon", "gpu") if p in platforms), "cpu"
+    )
+    utt_s = _bench_on(accel)
+    # CPU reference point: same graph, fewer iters (CPU is slow)
+    cpu_utt_s = None
+    try:
+        import jax as _j
+
+        cpu_devs = [d for d in _j.devices("cpu")]
+        if cpu_devs:
+            cpu_utt_s = _bench_on("cpu", batch=8, iters=3)
+    except Exception:
+        pass
+    vs_baseline = (utt_s / cpu_utt_s) if (utt_s and cpu_utt_s) else None
+    print(
+        json.dumps(
+            {
+                "metric": "3s-clip LID utterances/sec/chip (conformer joint infer, all heads)",
+                "value": round(utt_s, 2) if utt_s else None,
+                "unit": "utt/s/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -102,8 +102,15 @@ def _interpolate(tree: Dict) -> Dict:
     return resolve(tree, ())
 
 
+_SCI_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
 def _apply_override(tree: Dict, dotted: str, raw_value: str) -> None:
     value = yaml.safe_load(raw_value)
+    # YAML 1.1 parses "2e-3" (no dot) as a string — coerce scientific
+    # notation to float like hydra does
+    if isinstance(value, str) and _SCI_FLOAT_RE.match(value):
+        value = float(value)
     parts = dotted.split(".")
     node = tree
     for part in parts[:-1]:

@@ -80,7 +80,10 @@ class TaskModule:
         if outputs:
             keys = outputs[0].keys()
             for k in keys:
-                vals = [o[k] for o in outputs if k in o and np.isfinite(o[k])]
+                vals = [
+                    o[k] for o in outputs
+                    if k in o and np.isscalar(o[k]) and np.isfinite(o[k])
+                ]
                 if vals:
                     agg[f"avg_train_{k}"] = float(np.mean(vals))
         return agg
@@ -91,7 +94,10 @@ class TaskModule:
         agg: Dict[str, float] = {}
         if outputs:
             for k in outputs[0].keys():
-                vals = [o[k] for o in outputs if k in o and np.isfinite(o[k])]
+                vals = [
+                    o[k] for o in outputs
+                    if k in o and np.isscalar(o[k]) and np.isfinite(o[k])
+                ]
                 if vals:
                     agg[f"avg_val_{k}"] = float(np.mean(vals))
         return agg

@@ -34,6 +34,7 @@ def make_optimizer(
     lr is exposed as an injectable hyperparam (host updates
     ``opt_state.hyperparams['learning_rate']`` after each eval epoch).
     """
+    lr = float(lr)  # guard against YAML "2e-3"-style string floats
     schedule_conf = dict(schedule_conf or {})
     optim_conf = dict(optim_conf or {})
     plateau = None

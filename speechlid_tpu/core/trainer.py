@@ -283,17 +283,21 @@ class Trainer:
         return self.module.train_loop_end(outputs)
 
     def _collect_train_metrics(self, metrics, outputs, bar) -> None:
-        host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        host = {}
+        for k, v in jax.device_get(metrics).items():
+            arr = np.asarray(v)
+            host[k] = float(arr) if arr.ndim == 0 else arr
         outputs.append(host)
+        scalars = {k: v for k, v in host.items() if np.isscalar(v)}
         if bar is not None:
             bar.update(1)
             if len(outputs) % self.log_interval == 0:
                 bar.set_postfix(
-                    {k: f"{v:.4g}" for k, v in host.items() if np.isfinite(v)}
+                    {k: f"{v:.4g}" for k, v in scalars.items() if np.isfinite(v)}
                 )
         for cb in self.callbacks:
-            cb.after_train_loop(self.global_step, host)
-        self.logger.log(host, step=self.global_step, is_train=True)
+            cb.after_train_loop(self.global_step, scalars)
+        self.logger.log(scalars, step=self.global_step, is_train=True)
 
     def _run_eval_epoch(self, loader: Iterable) -> Dict[str, float]:
         outputs: List[Dict] = []

@@ -1,0 +1,326 @@
+"""Joint LID + per-language CTC-ASR task.
+
+Rebuild of the reference's supervised joint agent family
+(lid/LidModule_ASR.py / LidModule_ASR_Supervised.py over
+ConformerMutiLangModel / WavLMMutiLangModel):
+
+- train: language-homogeneous batches (MultiBatchSampler); fbank (+
+  SpecAugment) → Conformer featurizer → the utterance's OWN language head →
+  CTC loss with blank-last (LidModule_ASR.py:174-219).  All heads exist in
+  one graph; gradient flows only through the selected head's rows via the
+  one-hot gather.
+- val: CTC loss + greedy-decode ids (host CER at epoch end) + all-head
+  confidence scores; EER/CAvg accumulate on the ``-1/(s-1e-9)``-normalized
+  probability vector and accuracy on its argmax (LidModule_ASR.py:329-409).
+- freeze schedule hooks: ``freeze_featurizer_epoch`` keeps the encoder
+  frozen through epoch N; ``keep_train_lang`` freezes every head but one
+  (reference keep_last_lang_model_train, WavLMMutiLangModel.py:114-123).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechlid_tpu.core.module import TaskModule
+from speechlid_tpu.core.optim import make_optimizer
+from speechlid_tpu.data.tokenizer import CTCTokenizer
+from speechlid_tpu.metrics import CAvg, CharErrorRate, EER, WordErrorRate
+from speechlid_tpu.models.conformer import ConformerModel
+from speechlid_tpu.models.multilang import (
+    MutiLangModel,
+    lang_confidence_scores,
+)
+from speechlid_tpu.ops.ctc import ctc_loss
+from speechlid_tpu.ops.frontend import frame_lengths, normalize_wav, wav2mel
+from speechlid_tpu.ops.specaugment import spec_augment
+
+
+def normalize_scores(scores: np.ndarray) -> np.ndarray:
+    """(B, L) raw confidences → probability-like vector via the reference's
+    -1/(s-1e-9) map + sum-normalization (LidModule_ASR.py:354-356)."""
+    p = -1.0 / (scores - 1e-9)
+    return p / p.sum(axis=-1, keepdims=True)
+
+
+class LidASRTask(TaskModule):
+    rng_keys = ("dropout", "stochastic_depth", "specaug", "params")
+
+    def __init__(
+        self,
+        lang2vocab: Dict[str, int],
+        lang2index: Dict[str, int],
+        tokenizers: Optional[Dict[str, CTCTokenizer]] = None,
+        # model
+        n_blocks: int = 14,
+        encoder_dim: int = 144,
+        heads: int = 4,
+        dim_head: int = 64,
+        sub_sampling: int = 4,
+        head_type: str = "conformer_linear",
+        head_layers: int = 1,
+        head_dim_head: int = 32,
+        head_num_head: int = 8,
+        double_swish: bool = False,
+        dropout: float = 0.1,
+        use_cer: bool = True,
+        # frontend
+        sample_rate: int = 16000,
+        n_mels: int = 80,
+        t_mask_ratio: float = 0.05,
+        f_mask: int = 27,
+        mask_times: int = 2,
+        # optim
+        lr: float = 1e-3,
+        optimizer: str = "adam",
+        schedule: Optional[str] = "tristage",
+        schedule_conf: Optional[Dict] = None,
+        clip_norm: float = 20.0,
+        # freeze schedule
+        freeze_featurizer_epoch: int = -1,
+        keep_train_lang: Optional[str] = None,
+        **extra: Any,
+    ) -> None:
+        super().__init__()
+        self.save_hyper_parameters(
+            ignore=("tokenizers",),
+            lang2vocab=lang2vocab, lang2index=lang2index, n_blocks=n_blocks,
+            encoder_dim=encoder_dim, heads=heads, dim_head=dim_head,
+            sub_sampling=sub_sampling, head_type=head_type,
+            head_layers=head_layers, head_dim_head=head_dim_head,
+            head_num_head=head_num_head, double_swish=double_swish,
+            dropout=dropout, use_cer=use_cer, sample_rate=sample_rate,
+            n_mels=n_mels, t_mask_ratio=t_mask_ratio, f_mask=f_mask,
+            mask_times=mask_times, lr=lr, optimizer=optimizer,
+            schedule=schedule, schedule_conf=schedule_conf,
+            clip_norm=clip_norm,
+            freeze_featurizer_epoch=freeze_featurizer_epoch,
+            keep_train_lang=keep_train_lang,
+        )
+        self.lang2vocab = lang2vocab
+        self.lang2index = lang2index
+        self.index2lang = {v: k for k, v in lang2index.items()}
+        self.tokenizers = tokenizers or {}
+        self.n_lang = len(lang2vocab)
+        # vocab sizes ordered by language index
+        ordered = sorted(lang2index, key=lang2index.get)
+        self.vocab_sizes = tuple(lang2vocab[l] for l in ordered)
+        self.ordered_langs = ordered
+
+        self.sample_rate = sample_rate
+        self.hop = int(sample_rate * 0.01)
+        self.n_mels = n_mels
+        self.t_mask_ratio = t_mask_ratio
+        self.f_mask = f_mask
+        self.mask_times = mask_times
+        self.lr = lr
+        self.optimizer = optimizer
+        self.schedule = schedule
+        self.schedule_conf = schedule_conf or {}
+        self.clip_norm = clip_norm
+        self.freeze_featurizer_epoch = freeze_featurizer_epoch
+        self.keep_train_lang = keep_train_lang
+        self.use_cer = use_cer
+
+        featurizer = ConformerModel(
+            n_blocks=n_blocks, n_mels=n_mels, encoder_dim=encoder_dim,
+            heads=heads, dim_head=dim_head, sub_sampling=sub_sampling,
+            use_double_swish=double_swish,
+        )
+        self.model = MutiLangModel(
+            featurizer=featurizer,
+            vocab_sizes=self.vocab_sizes,
+            head_type=head_type,
+            linear_dim=encoder_dim,
+            num_layers=head_layers,
+            dropout=dropout,
+            dim_head=head_dim_head,
+            num_head=head_num_head,
+            use_double_swish=double_swish,
+        )
+        self.eer = EER(num_class=self.n_lang)
+        self.cavg = CAvg(num_class=self.n_lang)
+        self.err_fn = CharErrorRate() if use_cer else WordErrorRate()
+
+    # -------------------------------------------------------------- frontend
+    def _features(self, wavs, wav_lengths, rngs=None):
+        x = normalize_wav(wavs, wav_lengths)
+        mel = wav2mel(
+            x, sample_rate=self.sample_rate, n_mels=self.n_mels,
+            lengths=wav_lengths,
+        )  # (B, n_mels, F)
+        f_len = frame_lengths(wav_lengths, self.hop)
+        if rngs is not None and self.mask_times > 0:
+            mel = spec_augment(
+                rngs["specaug"], mel,
+                time_mask_ratio=self.t_mask_ratio,
+                freq_mask_param=self.f_mask,
+                n_time_masks=self.mask_times,
+                n_freq_masks=self.mask_times,
+                lengths=f_len,
+            )
+        return jnp.transpose(mel, (0, 2, 1)), f_len  # (B, F, n_mels)
+
+    # ----------------------------------------------------------------- setup
+    def init_variables(self, rng, sample_batch):
+        feats, f_len = self._features(
+            jnp.asarray(sample_batch["wavs"]),
+            jnp.asarray(sample_batch["wav_lengths"]),
+        )
+        return self.model.init(
+            {"params": rng, "dropout": rng, "stochastic_depth": rng},
+            feats, f_len, method=MutiLangModel.infer,
+        )
+
+    def config_optim(self):
+        sched_conf = dict(self.schedule_conf)
+        tx, plateau = make_optimizer(
+            self.optimizer, lr=self.lr, clip_norm=self.clip_norm,
+            schedule=self.schedule, schedule_conf=sched_conf,
+        )
+        return tx, plateau
+
+    # ----------------------------------------------------------- device loops
+    def _forward_ctc(self, variables, batch, rngs, deterministic):
+        feats, f_len = self._features(
+            batch["wavs"], batch["wav_lengths"],
+            rngs=None if deterministic else rngs,
+        )
+        if deterministic:
+            (logits, feat_lens) = self.model.apply(
+                variables, feats, f_len, deterministic=True
+            )
+            mut = {}
+        else:
+            (logits, feat_lens), mut = self.model.apply(
+                variables, feats, f_len, deterministic=False,
+                rngs=rngs, mutable=["batch_stats"],
+            )
+        # each utterance's own language head: (L, B, T, V) → (B, T, V)
+        own = jnp.take_along_axis(
+            logits, batch["langs"][None, :, None, None], axis=0
+        )[0]
+        lp = jax.nn.log_softmax(own, axis=-1)
+        loss = ctc_loss(
+            lp, batch["texts"], feat_lens, batch["text_lengths"], blank=-1
+        )
+        return loss, logits, lp, feat_lens, mut
+
+    def train_loop(self, variables, batch, rngs):
+        loss, _, _, _, mut = self._forward_ctc(variables, batch, rngs, False)
+        return loss, {}, dict(mut)
+
+    def val_loop(self, variables, batch):
+        loss, logits, lp, feat_lens, _ = self._forward_ctc(
+            variables, batch, None, True
+        )
+        scores = lang_confidence_scores(
+            logits, jnp.asarray(self.vocab_sizes), feat_lens
+        )  # (B, L)
+        pred_ids = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        return {
+            "loss": loss,
+            "scores": scores,
+            "pred_ids": pred_ids,
+            "feat_lens": feat_lens,
+            "langs": batch["langs"],
+            "texts": batch["texts"],
+            "text_lengths": batch["text_lengths"],
+        }
+
+    # ------------------------------------------------------------- host hooks
+    def before_train_loop(self, epoch: int):
+        if self.trainer is None:
+            return None
+        freeze_feat = epoch <= self.freeze_featurizer_epoch
+        keep_lang = self.keep_train_lang
+        if not freeze_feat and keep_lang is None:
+            return jax.tree_util.tree_map(
+                lambda _: jnp.ones((), jnp.float32), self.trainer.state.params
+            )
+        keep_idx = None if keep_lang is None else self.lang2index[keep_lang]
+
+        def mask_leaf(path, leaf):
+            keys = "/".join(
+                getattr(p, "key", str(p)) for p in path
+            )
+            if freeze_feat and keys.startswith("featurizer"):
+                return jnp.zeros((), jnp.float32)
+            # stacked heads: leading axis L — freeze all but keep_idx by a
+            # per-language broadcastable vector mask
+            if keep_idx is not None and keys.startswith("heads"):
+                m = jnp.zeros((leaf.shape[0],), jnp.float32).at[keep_idx].set(1.0)
+                return m.reshape((-1,) + (1,) * (leaf.ndim - 1))
+            return jnp.ones((), jnp.float32)
+
+        logging.info(
+            "freeze schedule: featurizer_frozen=%s keep_train_lang=%s",
+            freeze_feat, keep_lang,
+        )
+        return jax.tree_util.tree_map_with_path(
+            mask_leaf, self.trainer.state.params
+        )
+
+    def val_loop_end(self, outputs: List[Dict]) -> Dict[str, float]:
+        losses, correct, total = [], 0, 0
+        self.err_fn.reset()
+        for out in outputs:
+            if np.isfinite(out["loss"]):
+                losses.append(out["loss"])
+            scores = np.asarray(out["scores"])  # (B, L)
+            langs = np.asarray(out["langs"])
+            prob = normalize_scores(scores)
+            pred = prob.argmax(axis=-1)
+            # reference updates EER/Cavg with predicted lang as "target"
+            # (LidModule_ASR.py:357-358) — scored against the model's own
+            # argmax; accuracy uses the true label
+            self.eer.update(prob, pred)
+            self.cavg.update(prob, pred)
+            correct += int((pred == langs).sum())
+            total += len(langs)
+            # CER/WER via host decode with the right language's tokenizer
+            if self.tokenizers:
+                pred_ids = np.asarray(out["pred_ids"])
+                feat_lens = np.asarray(out["feat_lens"])
+                texts = np.asarray(out["texts"])
+                text_lens = np.asarray(out["text_lengths"])
+                for i in range(len(langs)):
+                    lang = self.index2lang[int(langs[i])]
+                    tok = self.tokenizers.get(lang)
+                    if tok is None:
+                        continue
+                    hyp = tok.ctc_decode(
+                        pred_ids[i : i + 1], [int(feat_lens[i])],
+                        blank_id=max(self.vocab_sizes),  # global padded blank
+                    )[0]
+                    ref = tok.decoder(
+                        texts[i : i + 1], [int(text_lens[i])]
+                    )[0]
+                    self.err_fn.update([hyp], [ref])
+        result = {
+            "avg_val_loss": float(np.mean(losses)) if losses else float("nan"),
+            "val_acc": correct / max(total, 1),
+            "val_wer": self.err_fn.compute(),
+            "eer": self.eer.compute() if total else float("nan"),
+            "cavg": self.cavg.compute() if total else float("nan"),
+        }
+        self.eer.reset()
+        self.cavg.reset()
+        logging.info("val: %s", result)
+        return result
+
+    # ---------------------------------------------------------------- infer
+    def infer_fn(self):
+        """jittable all-language inference (reference LidModule.infer)."""
+
+        def fn(variables, wavs, wav_lengths):
+            feats, f_len = self._features(wavs, wav_lengths)
+            return self.model.apply(
+                variables, feats, f_len, method=MutiLangModel.infer
+            )
+
+        return fn

@@ -1,0 +1,162 @@
+"""Data layer tests: tokenizer, manifests, samplers, bucketed feeder."""
+
+import os
+
+import numpy as np
+import pytest
+
+from speechlid_tpu.data import (
+    BucketFeeder,
+    CTCTokenizer,
+    MergedDataset,
+    MultiBatchSampler,
+    RawManifest,
+)
+from speechlid_tpu.data.audio_io import read_wav, write_wav, wav_duration
+
+
+class TestTokenizer:
+    def test_roundtrip(self):
+        tok = CTCTokenizer(["_", " ", "a", "b", "c"])
+        ids = tok.encoder("Ab  ba")
+        assert ids.tolist() == [2, 3, 1, 3, 2]  # lowercase + space squeeze
+        assert tok.blank_id == 5
+        out = tok.decoder(ids[None, :], [5])
+        assert out == ["ab ba"]
+
+    def test_oov_dropped(self):
+        tok = CTCTokenizer(["a", "b"])
+        assert tok.encoder("axb!").tolist() == [0, 1]
+
+    def test_ctc_decode_collapse(self):
+        tok = CTCTokenizer(["a", "b", "c"])  # blank=3
+        pred = np.asarray([[0, 0, 3, 1, 1, 3, 3, 2]])
+        assert tok.ctc_decode(pred) == ["abc"]
+        assert tok.ctc_decode(pred, [4]) == ["ab"]
+
+    def test_vocab_file(self, tmp_path):
+        p = tmp_path / "vocab.txt"
+        p.write_text("_\n \na\nb\n")
+        tok = CTCTokenizer(str(p))
+        assert tok.vocab_size == 4 and tok.export_vocab() == ["_", " ", "a", "b"]
+
+    def test_prefix_beam_search_matches_greedy_on_peaked(self):
+        tok = CTCTokenizer(["a", "b", "c"])  # blank=3
+        path = [0, 0, 3, 1, 3, 2, 2, 3]
+        lp = np.full((len(path), 4), -20.0)
+        for t, s in enumerate(path):
+            lp[t, s] = 0.0
+        hyps = tok.ctc_prefix_beam_search(lp, beam_size=4)
+        assert hyps[0][0] == "abc"
+        assert hyps[0][1] > hyps[-1][1]
+
+    def test_prefix_beam_search_sums_paths(self):
+        # classic case where prefix search beats greedy: two paths for "a"
+        # outweigh the single best blank path
+        tok = CTCTokenizer(["a"])  # blank=1
+        lp = np.log(np.asarray([[0.4, 0.6], [0.4, 0.6]]))  # p(a)=.4 p(-)=.6
+        hyps = dict(tok.ctc_prefix_beam_search(lp, beam_size=2))
+        # P("") = .36 ; P("a") = .4*.6 + .6*.4 + .4*.4 = .64
+        assert abs(np.exp(hyps["a"]) - 0.64) < 1e-6
+        assert abs(np.exp(hyps[""]) - 0.36) < 1e-6
+
+
+def _write_corpus(root, langs=("aa", "bb", "cc"), n=6, sr=16000):
+    """XF-style corpus: <root>/<lang>/train.txt + wav/train/*.wav"""
+    manifests = []
+    for li, lang in enumerate(langs):
+        d = os.path.join(root, lang)
+        wav_dir = os.path.join(d, "wav", "train")
+        os.makedirs(wav_dir, exist_ok=True)
+        lines = []
+        for i in range(n):
+            name = f"utt{i}.wav"
+            dur = 0.3 + 0.2 * (i % 3)
+            t = np.arange(int(sr * dur)) / sr
+            wav = 0.3 * np.sin(2 * np.pi * (200 + 100 * li) * t)
+            write_wav(os.path.join(wav_dir, name), wav.astype(np.float32), sr)
+            lines.append(f"{name}\t{lang} text {i}")
+        mpath = os.path.join(d, "train.txt")
+        with open(mpath, "w") as f:
+            f.write("\n".join(lines))
+        manifests.append(mpath)
+    return manifests
+
+
+class TestManifests:
+    def test_xf_parse_and_filter(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        paths = _write_corpus(str(tmp_path))
+        m = RawManifest(paths[0], max_duration=0.6, source="xf")
+        assert m.lang() == "aa"
+        assert len(m) == 4  # durations .3/.5/.7 → the .7s ones dropped
+        vocab = m.export_vocab()
+        assert " " in vocab and "a" in vocab
+
+    def test_wav_duration(self, tmp_path):
+        p = str(tmp_path / "x.wav")
+        write_wav(p, np.zeros(8000, np.float32), 16000)
+        assert abs(wav_duration(p) - 0.5) < 1e-6
+        wav, sr = read_wav(p)
+        assert sr == 16000 and len(wav) == 8000
+
+
+class TestSamplerAndFeeder:
+    @pytest.fixture
+    def dataset(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        paths = _write_corpus(str(tmp_path), n=8)
+        manifests = [RawManifest(p, max_duration=2.0, source="xf") for p in paths]
+        vocabs = {m.lang(): m.export_vocab() for m in manifests}
+        toks = {l: CTCTokenizer(v) for l, v in vocabs.items()}
+        lang2index = {l: i for i, l in enumerate(sorted(vocabs))}
+        return MergedDataset(manifests, toks, lang2index)
+
+    def test_language_homogeneous_batches(self, dataset):
+        sampler = MultiBatchSampler(dataset, batch_size=4, seed=0)
+        batches = list(iter(sampler))
+        assert sum(len(b) for b in batches) == 24
+        for b in batches:
+            langs = {dataset.lang_of_global(i) for i in b}
+            assert len(langs) == 1  # homogeneous
+
+    def test_sharding_disjoint(self, dataset):
+        s0 = MultiBatchSampler(dataset, 4, seed=0, shard_id=0, num_shards=2)
+        s1 = MultiBatchSampler(dataset, 4, seed=0, shard_id=1, num_shards=2)
+        i0 = {i for b in iter(s0) for i in b}
+        i1 = {i for b in iter(s1) for i in b}
+        assert i0.isdisjoint(i1)
+        assert len(i0 | i1) == 24
+
+    def test_feeder_static_shapes(self, dataset):
+        sampler = MultiBatchSampler(dataset, batch_size=4, seed=0)
+        feeder = BucketFeeder(dataset, sampler, buckets_s=(0.5, 1.0),
+                              max_text_len=32)
+        shapes = set()
+        n = 0
+        for batch in feeder:
+            assert batch["wavs"].shape[0] == 4  # pad_to_full
+            assert batch["wavs"].shape[1] in (8000, 16000)
+            assert batch["texts"].shape == (4, 32)
+            assert (batch["wav_lengths"] > 0).all()
+            # language homogeneity survived
+            assert len(set(batch["langs"].tolist())) == 1
+            shapes.add(batch["wavs"].shape)
+            n += 1
+        assert n == len(sampler)
+        assert len(shapes) <= 2  # bounded compile set
+
+    def test_feeder_epochs_differ(self, dataset):
+        sampler = MultiBatchSampler(dataset, batch_size=4, seed=0)
+        feeder = BucketFeeder(dataset, sampler, buckets_s=(1.0,))
+        e1 = [b["langs"][0] for b in feeder]
+        e2 = [b["langs"][0] for b in feeder]
+        assert e1 != e2 or len(e1) == 1  # reshuffled across epochs
+
+    def test_feeder_with_paths(self, dataset):
+        sampler = MultiBatchSampler(dataset, batch_size=4, seed=0)
+        feeder = BucketFeeder(dataset, sampler, buckets_s=(1.0,),
+                              arrays_only=False)
+        batch = next(iter(feeder))
+        assert len(batch.paths) == 4
+        assert batch.paths[0].endswith(".wav")
