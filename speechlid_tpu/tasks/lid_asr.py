@@ -48,13 +48,23 @@ def normalize_scores(scores: np.ndarray) -> np.ndarray:
 
 
 class LidASRTask(TaskModule):
-    rng_keys = ("dropout", "stochastic_depth", "specaug", "params")
+    rng_keys = (
+        "dropout", "stochastic_depth", "specaug", "params",
+        "mask", "mask_channel",  # SSL span/channel masking streams
+    )
 
     def __init__(
         self,
         lang2vocab: Dict[str, int],
         lang2index: Dict[str, int],
         tokenizers: Optional[Dict[str, CTCTokenizer]] = None,
+        # featurizer: 'conformer' (reference conformer_pure) or SSL upstream
+        # 'wavlm' / 'wav2vec2' (reference WavLMMutiLangModel /
+        # Wav2vecMutiLangModel), optionally warm-started from pt_path
+        featurizer: str = "conformer",
+        pt_path: Optional[str] = None,
+        feature_selection: str = "last_hidden_state",
+        ssl_config: Optional[Dict] = None,
         # model
         n_blocks: int = 14,
         encoder_dim: int = 144,
@@ -80,14 +90,18 @@ class LidASRTask(TaskModule):
         schedule: Optional[str] = "tristage",
         schedule_conf: Optional[Dict] = None,
         clip_norm: float = 20.0,
-        # freeze schedule
+        # freeze schedule (reference before_train_loop epoch gates,
+        # LidModule_ASR.py:279-304)
         freeze_featurizer_epoch: int = -1,
+        freeze_transformer_epoch: int = -1,
         keep_train_lang: Optional[str] = None,
         **extra: Any,
     ) -> None:
         super().__init__()
         self.save_hyper_parameters(
             ignore=("tokenizers",),
+            featurizer=featurizer, pt_path=pt_path,
+            feature_selection=feature_selection, ssl_config=ssl_config,
             lang2vocab=lang2vocab, lang2index=lang2index, n_blocks=n_blocks,
             encoder_dim=encoder_dim, heads=heads, dim_head=dim_head,
             sub_sampling=sub_sampling, head_type=head_type,
@@ -99,6 +113,7 @@ class LidASRTask(TaskModule):
             schedule=schedule, schedule_conf=schedule_conf,
             clip_norm=clip_norm,
             freeze_featurizer_epoch=freeze_featurizer_epoch,
+            freeze_transformer_epoch=freeze_transformer_epoch,
             keep_train_lang=keep_train_lang,
         )
         self.lang2vocab = lang2vocab
@@ -123,16 +138,58 @@ class LidASRTask(TaskModule):
         self.schedule_conf = schedule_conf or {}
         self.clip_norm = clip_norm
         self.freeze_featurizer_epoch = freeze_featurizer_epoch
+        self.freeze_transformer_epoch = freeze_transformer_epoch
         self.keep_train_lang = keep_train_lang
         self.use_cer = use_cer
 
-        featurizer = ConformerModel(
-            n_blocks=n_blocks, n_mels=n_mels, encoder_dim=encoder_dim,
-            heads=heads, dim_head=dim_head, sub_sampling=sub_sampling,
-            use_double_swish=double_swish,
-        )
+        self.featurizer_kind = featurizer
+        self.pt_path = pt_path
+        if featurizer == "conformer":
+            feat_module = ConformerModel(
+                n_blocks=n_blocks, n_mels=n_mels, encoder_dim=encoder_dim,
+                heads=heads, dim_head=dim_head, sub_sampling=sub_sampling,
+                use_double_swish=double_swish,
+            )
+        elif featurizer in ("wavlm", "wav2vec2"):
+            from speechlid_tpu.models.wav2vec2 import (
+                SSLFeaturizerModel,
+                wav2vec2_config,
+            )
+            from speechlid_tpu.models.wavlm import WavLMConfig
+
+            if pt_path:
+                if featurizer == "wavlm":
+                    from speechlid_tpu.models.wavlm import load_wavlm_checkpoint
+
+                    self._ssl_params, ssl_cfg = load_wavlm_checkpoint(pt_path)
+                else:
+                    from speechlid_tpu.models.wav2vec2 import (
+                        load_fairseq_wav2vec2_checkpoint,
+                    )
+
+                    self._ssl_params, ssl_cfg = (
+                        load_fairseq_wav2vec2_checkpoint(pt_path)
+                    )
+            else:
+                self._ssl_params = None
+                conf = dict(ssl_config or {})
+                ssl_cfg = (
+                    WavLMConfig.from_dict(conf)
+                    if featurizer == "wavlm"
+                    else wav2vec2_config(**conf)
+                )
+            # SSL training-time masking is governed by the config's
+            # mask_prob / mask_channel_prob (reference overrides them at
+            # lid/wavlm/example.py:26-28)
+            feat_module = SSLFeaturizerModel(
+                config=ssl_cfg, feature_selection=feature_selection
+            )
+            encoder_dim = ssl_cfg.encoder_embed_dim
+            linear_dim = encoder_dim
+        else:
+            raise ValueError(f"unknown featurizer: {featurizer}")
         self.model = MutiLangModel(
-            featurizer=featurizer,
+            featurizer=feat_module,
             vocab_sizes=self.vocab_sizes,
             head_type=head_type,
             linear_dim=encoder_dim,
@@ -147,6 +204,13 @@ class LidASRTask(TaskModule):
         self.err_fn = CharErrorRate() if use_cer else WordErrorRate()
 
     # -------------------------------------------------------------- frontend
+    def _model_inputs(self, wavs, wav_lengths, rngs=None):
+        """Featurizer input: fbank for the conformer path, normalized wav
+        for SSL upstreams (their conv extractor IS the frontend)."""
+        if self.featurizer_kind == "conformer":
+            return self._features(wavs, wav_lengths, rngs)
+        return normalize_wav(wavs, wav_lengths), wav_lengths
+
     def _features(self, wavs, wav_lengths, rngs=None):
         x = normalize_wav(wavs, wav_lengths)
         mel = wav2mel(
@@ -167,14 +231,23 @@ class LidASRTask(TaskModule):
 
     # ----------------------------------------------------------------- setup
     def init_variables(self, rng, sample_batch):
-        feats, f_len = self._features(
+        feats, f_len = self._model_inputs(
             jnp.asarray(sample_batch["wavs"]),
             jnp.asarray(sample_batch["wav_lengths"]),
         )
-        return self.model.init(
+        variables = self.model.init(
             {"params": rng, "dropout": rng, "stochastic_depth": rng},
             feats, f_len, method=MutiLangModel.infer,
         )
+        if getattr(self, "_ssl_params", None):
+            # warm-start the SSL upstream from the converted torch ckpt
+            variables = dict(variables)
+            params = dict(variables["params"])
+            feat_params = dict(params["featurizer"])
+            feat_params["upstream"] = self._ssl_params
+            params["featurizer"] = feat_params
+            variables["params"] = params
+        return variables
 
     def config_optim(self):
         sched_conf = dict(self.schedule_conf)
@@ -186,7 +259,7 @@ class LidASRTask(TaskModule):
 
     # ----------------------------------------------------------- device loops
     def _forward_ctc(self, variables, batch, rngs, deterministic):
-        feats, f_len = self._features(
+        feats, f_len = self._model_inputs(
             batch["wavs"], batch["wav_lengths"],
             rngs=None if deterministic else rngs,
         )
@@ -237,8 +310,9 @@ class LidASRTask(TaskModule):
         if self.trainer is None:
             return None
         freeze_feat = epoch <= self.freeze_featurizer_epoch
+        freeze_trans = epoch <= self.freeze_transformer_epoch
         keep_lang = self.keep_train_lang
-        if not freeze_feat and keep_lang is None:
+        if not freeze_feat and not freeze_trans and keep_lang is None:
             return jax.tree_util.tree_map(
                 lambda _: jnp.ones((), jnp.float32), self.trainer.state.params
             )
@@ -249,6 +323,16 @@ class LidASRTask(TaskModule):
                 getattr(p, "key", str(p)) for p in path
             )
             if freeze_feat and keys.startswith("featurizer"):
+                # SSL: freeze only the conv extractor (reference
+                # freeze_feature_extractor); conformer: whole featurizer
+                if self.featurizer_kind == "conformer" or (
+                    "feature_extractor" in keys
+                ):
+                    return jnp.zeros((), jnp.float32)
+            if freeze_trans and keys.startswith("featurizer") and any(
+                part in keys
+                for part in ("layers_", "pos_conv", "encoder_layer_norm")
+            ):
                 return jnp.zeros((), jnp.float32)
             # stacked heads: leading axis L — freeze all but keep_idx by a
             # per-language broadcastable vector mask
@@ -318,7 +402,7 @@ class LidASRTask(TaskModule):
         """jittable all-language inference (reference LidModule.infer)."""
 
         def fn(variables, wavs, wav_lengths):
-            feats, f_len = self._features(wavs, wav_lengths)
+            feats, f_len = self._model_inputs(wavs, wav_lengths)
             return self.model.apply(
                 variables, feats, f_len, method=MutiLangModel.infer
             )
