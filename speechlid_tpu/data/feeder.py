@@ -36,6 +36,7 @@ class Batch:
     text_lengths: np.ndarray  # (B,) int32
     langs: np.ndarray  # (B,) int32
     paths: List[str]  # host-only
+    n_valid: int = 0  # unique items before repeat-padding (0 → all)
 
     def arrays(self) -> Dict[str, np.ndarray]:
         """The jit-traversable pytree (paths stay host-side)."""
@@ -87,6 +88,7 @@ class BucketFeeder:
 
     def _assemble(self, idxs: List[int]) -> Batch:
         items = [self.dataset[i] for i in idxs]
+        n_valid = len(items)
         if self.pad_to_full and len(items) < self.sampler.batch_size:
             # repeat-pad to the full batch size for a stable shape; the
             # repeated rows keep their true lengths so losses stay valid,
@@ -111,7 +113,9 @@ class BucketFeeder:
             text_lengths[i] = len(ids)
             langs[i] = it["lang_idx"]
             paths.append(it["path"])
-        return Batch(wavs, wav_lengths, texts, text_lengths, langs, paths)
+        return Batch(
+            wavs, wav_lengths, texts, text_lengths, langs, paths, n_valid
+        )
 
     def __iter__(self) -> Iterator:
         self.sampler.set_epoch(self._epoch)

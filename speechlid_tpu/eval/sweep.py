@@ -1,0 +1,55 @@
+"""SNR × noise-type robustness sweep driver.
+
+Replaces the reference's shell grids (lid/test_cross_all.sh,
+test_conformer_all.sh, test_wavlm_all.sh: SNR ∈ {0,5,10,15} dB ×
+{white, factory1, factory2, babble} NOISEX-92, SE blend factors) with one
+python entry that reuses the jitted evaluator across cells — the compiled
+graph is shared, only the noise data changes.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Sequence
+
+from speechlid_tpu.eval.harness import LidEvaluator
+
+DEFAULT_SNRS = (0.0, 5.0, 10.0, 15.0)
+DEFAULT_NOISES = ("white", "factory1", "factory2", "babble")
+
+
+def run_sweep(
+    evaluator: LidEvaluator,
+    feeder_factory,
+    snrs: Sequence[float] = DEFAULT_SNRS,
+    noises: Sequence[str] = DEFAULT_NOISES,
+    include_clean: bool = True,
+    out_path: Optional[str] = None,
+    max_batches: Optional[int] = None,
+) -> List[Dict]:
+    """feeder_factory() → fresh BucketFeeder per cell (epoch counter reset)."""
+    rows: List[Dict] = []
+    if include_clean:
+        res = evaluator.evaluate(feeder_factory(), None, None,
+                                 max_batches=max_batches)
+        rows.append({"snr": None, "noise": "clean", **res.as_dict()})
+    available = (
+        set(evaluator.noise_bank.noises) if evaluator.noise_bank else set()
+    )
+    for noise in noises:
+        if noise not in available:
+            logging.warning("noise %r not in bank — skipped", noise)
+            continue
+        for snr in snrs:
+            res = evaluator.evaluate(
+                feeder_factory(), snr, noise, max_batches=max_batches
+            )
+            rows.append({"snr": snr, "noise": noise, **res.as_dict()})
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+    return rows
