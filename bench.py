@@ -96,6 +96,7 @@ def main() -> None:
     except Exception:
         pass
     vs_baseline = (utt_s / cpu_utt_s) if (utt_s and cpu_utt_s) else None
+    rtf, p50_ms = _frontend_rtf_and_latency(accel)
     print(
         json.dumps(
             {
@@ -103,9 +104,74 @@ def main() -> None:
                 "value": round(utt_s, 2) if utt_s else None,
                 "unit": "utt/s/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "feature_extraction_rtf": rtf,
+                "p50_latency_ms_single_utt": p50_ms,
             }
         )
     )
+
+
+def _frontend_rtf_and_latency(device_kind: str):
+    """BASELINE.json auxiliary metrics: batched feature-extraction real-time
+    factor and p50 single-utterance end-to-end infer latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from speechlid_tpu.models.multilang import MutiLangModel
+    from speechlid_tpu.ops.frontend import (
+        frame_lengths, mel_spectrogram, normalize_wav, wav2mel,
+    )
+
+    try:
+        dev = jax.devices(device_kind)
+    except RuntimeError:
+        dev = [d for d in jax.devices() if d.platform == device_kind]
+    if not dev:
+        return None, None
+    rng = np.random.RandomState(0)
+    with jax.default_device(dev[0]):
+        # frontend RTF on a 32×3 s batch
+        wav = jnp.asarray(rng.randn(32, 48000).astype(np.float32) * 0.1)
+        fe = jax.jit(lambda w: mel_spectrogram(w))
+        jax.block_until_ready(fe(wav))
+        t0 = time.perf_counter()
+        for _ in range(50):
+            out = fe(wav)
+        jax.block_until_ready(out)
+        rtf = (time.perf_counter() - t0) / 50 / (32 * 3.0)
+
+        # p50 latency: single 3 s utterance through full LID infer
+        model = _flagship(n_lang=3)
+        w1 = jnp.asarray(rng.randn(1, 48000).astype(np.float32) * 0.1)
+        l1 = jnp.asarray([48000], jnp.int32)
+        key = jax.random.PRNGKey(0)
+        mel = jnp.transpose(wav2mel(normalize_wav(w1, l1), lengths=l1), (0, 2, 1))
+        f1 = frame_lengths(l1, 160)
+        variables = model.init(
+            {"params": key, "dropout": key, "stochastic_depth": key},
+            mel, f1, method=MutiLangModel.infer,
+        )
+
+        @jax.jit
+        def infer_one(variables, w, l):
+            mel = jnp.transpose(
+                wav2mel(normalize_wav(w, l), lengths=l), (0, 2, 1)
+            )
+            out = model.apply(
+                variables, mel, frame_lengths(l, 160),
+                method=MutiLangModel.infer,
+            )
+            return out["pred_lang"]
+
+        jax.block_until_ready(infer_one(variables, w1, l1))
+        lat = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            jax.block_until_ready(infer_one(variables, w1, l1))
+            lat.append(time.perf_counter() - t0)
+        p50 = float(np.median(lat) * 1e3)
+    return round(float(rtf), 8), round(p50, 3)
 
 
 if __name__ == "__main__":

@@ -77,7 +77,7 @@ def build_data(conf) -> Dict:
     }
 
 
-def build_feeder(conf, dataset, seed=0) -> BucketFeeder:
+def build_feeder(conf, dataset, seed=0, train=True) -> BucketFeeder:
     sampler = MultiBatchSampler(
         dataset,
         batch_size=conf.data.get("batch_size", 8),
@@ -86,12 +86,23 @@ def build_feeder(conf, dataset, seed=0) -> BucketFeeder:
         shard_id=int(os.environ.get("SPEECHLID_SHARD_ID", 0)),
         num_shards=int(os.environ.get("SPEECHLID_NUM_SHARDS", 1)),
     )
+    augmentor = None
+    aug_conf = conf.data.get("wav_augment") if train else None
+    if aug_conf:
+        from speechlid_tpu.data.augmentor import WavAugmentor
+
+        augmentor = WavAugmentor(
+            sample_rate=conf.data.get("sample_rate", 16000),
+            **(aug_conf.to_dict() if hasattr(aug_conf, "to_dict")
+               else dict(aug_conf)),
+        )
     return BucketFeeder(
         dataset,
         sampler,
         sample_rate=conf.data.get("sample_rate", 16000),
         buckets_s=tuple(conf.data.get("buckets_s", [2.0, 4.0, 8.0, 13.0, 17.0])),
         max_text_len=conf.data.get("max_text_len", 256),
+        augmentor=augmentor,
     )
 
 
@@ -112,6 +123,13 @@ def build_task(conf, data):
 
         return LidCrossEntropyTask(
             num_classes=len(data["lang2index"]), **module_conf
+        )
+    if task_type == "asr":
+        from speechlid_tpu.tasks.asr import ASRTask
+
+        lang = next(iter(data["tokenizers"]))
+        return ASRTask(
+            vocab=data["tokenizers"][lang].export_vocab(), **module_conf
         )
     raise ValueError(f"unknown module.task: {task_type}")
 
@@ -174,7 +192,8 @@ def main(argv: List[str] | None = None) -> None:
     stage = conf.get("stage", "train")
     train_feeder = build_feeder(conf, data["dataset"], seed=conf.get("seed", 0))
     val_feeder = (
-        build_feeder(conf, data["val_dataset"], seed=conf.get("seed", 0))
+        build_feeder(conf, data["val_dataset"], seed=conf.get("seed", 0),
+                     train=False)
         if data["val_dataset"] is not None
         else train_feeder
     )

@@ -3,6 +3,7 @@
 from speechlid_tpu.core.loggers.base import BaseLogger
 from speechlid_tpu.core.loggers.multiplexer import Logger
 from speechlid_tpu.core.loggers.backends import (
+    CometLogger,
     ConsoleLogger,
     JsonlLogger,
     TensorboardLogger,

@@ -95,6 +95,41 @@ class TensorboardLogger(BaseLogger):
             self._writer.close()
 
 
+class CometLogger(BaseLogger):
+    """comet_ml backend (reference ccml/loggers/comet_logger.py) — no-op
+    when the package is absent."""
+
+    def __init__(self, project: str = "speechlid_tpu", **kwargs) -> None:
+        self.project = project
+        self.kwargs = kwargs
+        self._exp = None
+
+    def init(self, run_name: str, config: Optional[Dict] = None) -> None:
+        try:
+            import comet_ml
+
+            self._exp = comet_ml.Experiment(
+                project_name=self.project, **self.kwargs
+            )
+            self._exp.set_name(run_name)
+            if config:
+                self._exp.log_parameters(config)
+        except Exception as e:
+            logging.warning("CometLogger disabled: %s", e)
+
+    def log(self, data, step: int) -> None:
+        if self._exp is not None:
+            import numpy as _np
+
+            self._exp.log_metrics(
+                {k: v for k, v in data.items() if _np.isscalar(v)}, step=step
+            )
+
+    def finish(self) -> None:
+        if self._exp is not None:
+            self._exp.end()
+
+
 class WandbLogger(BaseLogger):
     def __init__(self, project: str = "speechlid_tpu", **kwargs) -> None:
         self.project = project

@@ -66,6 +66,7 @@ class BucketFeeder:
         pad_to_full: bool = True,
         prefetch: int = 2,
         arrays_only: bool = True,
+        augmentor=None,  # data.augmentor.WavAugmentor (train-time waveform aug)
     ) -> None:
         self.dataset = dataset
         self.sampler = sampler
@@ -75,6 +76,7 @@ class BucketFeeder:
         self.pad_to_full = pad_to_full
         self.prefetch = prefetch
         self.arrays_only = arrays_only
+        self.augmentor = augmentor
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -113,6 +115,8 @@ class BucketFeeder:
             text_lengths[i] = len(ids)
             langs[i] = it["lang_idx"]
             paths.append(it["path"])
+        if self.augmentor is not None:
+            wavs, wav_lengths = self.augmentor(wavs, wav_lengths)
         return Batch(
             wavs, wav_lengths, texts, text_lengths, langs, paths, n_valid
         )

@@ -52,6 +52,10 @@ class NoiseBank:
         self.rng = np.random.RandomState(seed)
 
     def sample(self, name: str, length: int, batch: int) -> np.ndarray:
+        if name not in self.noises:
+            raise KeyError(
+                f"unknown noise {name!r}; available: {sorted(self.noises)}"
+            )
         noise = self.noises[name]
         if len(noise) < length:
             reps = length // len(noise) + 1

@@ -25,6 +25,8 @@ def compute_cavg(
     p_target: float = 0.5,
 ) -> float:
     """pairs: (claimed_lang, true_lang, score) per trial."""
+    if lang_num < 2:
+        return 0.0  # detection cost undefined with a single language
     arr = np.asarray([(p[0], p[1], p[2]) for p in pairs], dtype=np.float64)
     claimed = arr[:, 0].astype(int)
     true = arr[:, 1].astype(int)

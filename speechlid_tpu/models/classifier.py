@@ -111,6 +111,29 @@ class LinearModel(nn.Module):
         return nn.Dense(self.num_classes)(stats)
 
 
+class PretrainLidClassifier(nn.Module):
+    """SSL upstream features → classifier backend (reference
+    PretrainLidModel, lid/PretrainLidModel.py:20-105: WavLM/wav2vec2
+    features into x-vector/resnet/linear back-ends)."""
+
+    upstream: nn.Module  # SSLFeaturizerModel
+    backend: str = "xvector"
+    num_classes: int = 3
+    feat_dim: int = 768
+
+    @nn.compact
+    def __call__(self, wavs, lengths=None, train: bool = False):
+        feats = self.upstream(wavs, lengths, deterministic=not train)
+        f_len = (
+            None if lengths is None
+            else self.upstream.subsampled_lengths(lengths)
+        )
+        return LidClassifier(
+            backend=self.backend, num_classes=self.num_classes,
+            feat_dim=self.feat_dim, name="classifier",
+        )(feats, f_len, train)
+
+
 class LidClassifier(nn.Module):
     """Backend dispatcher (reference LidModel, PretrainLidModel.py:106-152).
 

@@ -236,6 +236,16 @@ class RelPosMultiheadAttention(nn.Module):
         return out, position_bias
 
 
+def _ffn_act(cfg: WavLMConfig, y: jax.Array, dense_out: int, name: str):
+    """fc1 + activation: gelu (default) or GLU_Linear with swish gate
+    (reference modules.py GLU_Linear, used when activation_fn == 'glu')."""
+    if cfg.activation_fn == "glu":
+        z = nn.Dense(2 * dense_out, name=name)(y)
+        a, g = jnp.split(z, 2, axis=-1)
+        return a * (g * jax.nn.sigmoid(g))  # swish-gated GLU
+    return jax.nn.gelu(nn.Dense(dense_out, name=name)(y), approximate=False)
+
+
 class WavLMEncoderLayer(nn.Module):
     """Post-/pre-LN transformer layer (WavLM.py:651-778)."""
 
@@ -271,8 +281,7 @@ class WavLMEncoderLayer(nn.Module):
             x = residual + drop(y)
             residual = x
             y = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
-            y = jax.nn.gelu(nn.Dense(cfg.encoder_ffn_embed_dim, name="fc1")(y),
-                            approximate=False)
+            y = _ffn_act(cfg, y, cfg.encoder_ffn_embed_dim, "fc1")
             y = act_drop(y)
             y = nn.Dense(cfg.encoder_embed_dim, name="fc2")(y)
             x = residual + drop(y)
@@ -283,8 +292,7 @@ class WavLMEncoderLayer(nn.Module):
             x = residual + drop(y)
             x = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
             residual = x
-            y = jax.nn.gelu(nn.Dense(cfg.encoder_ffn_embed_dim, name="fc1")(x),
-                            approximate=False)
+            y = _ffn_act(cfg, x, cfg.encoder_ffn_embed_dim, "fc1")
             y = act_drop(y)
             y = nn.Dense(cfg.encoder_embed_dim, name="fc2")(y)
             x = residual + drop(y)

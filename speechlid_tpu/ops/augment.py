@@ -12,6 +12,7 @@ Rebuild of the reference's CPU/sox augmentation stack:
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -69,6 +70,34 @@ def mix_at_snr(
         ps / jnp.maximum(pn, 1e-12) / (10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0))
     )
     return wav + scale[..., None] * noise
+
+
+def pitch_shift(wav: jax.Array, sample_rate: int, n_cents: float) -> jax.Array:
+    """Duration-preserving pitch shift by ``n_cents`` (sox ``pitch`` analog,
+    audio_processor.py:137-154: ±{20..80} cents).
+
+    Implementation: resample by r = 2^(cents/1200) (pitch·tempo change),
+    then linearly re-interpolate back to the original length (tempo
+    restore).  Statistical — not bit — equivalence with sox's WSOLA
+    (SURVEY.md §7.3.4); artifacts are negligible at |cents| ≤ 80.
+    ``n_cents`` must be static (the reference draws from a 10-value set →
+    bounded compile cache).
+    """
+    if n_cents == 0:
+        return wav
+    from speechlid_tpu.ops.resample import resample
+
+    r = 2.0 ** (n_cents / 1200.0)
+    num = int(round(r * 1000))
+    g = math.gcd(num, 1000)
+    shifted = resample(wav, num // g, 1000 // g)  # length ≈ T/r
+    t = wav.shape[-1]
+    src_len = shifted.shape[-1]
+    pos = jnp.linspace(0.0, src_len - 1.0, t)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, src_len - 1)
+    frac = pos - lo
+    return shifted[..., lo] * (1.0 - frac) + shifted[..., hi] * frac
 
 
 def synthetic_rir(

@@ -385,12 +385,13 @@ class LidASRTask(TaskModule):
                         texts[i : i + 1], [int(text_lens[i])]
                     )[0]
                     self.err_fn.update([hyp], [ref])
+        multi = self.n_lang > 1  # LID metrics degenerate for pure ASR
         result = {
             "avg_val_loss": float(np.mean(losses)) if losses else float("nan"),
             "val_acc": correct / max(total, 1),
             "val_wer": self.err_fn.compute(),
-            "eer": self.eer.compute() if total else float("nan"),
-            "cavg": self.cavg.compute() if total else float("nan"),
+            "eer": self.eer.compute() if (total and multi) else float("nan"),
+            "cavg": self.cavg.compute() if (total and multi) else float("nan"),
         }
         self.eer.reset()
         self.cavg.reset()

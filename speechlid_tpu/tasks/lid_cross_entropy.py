@@ -25,12 +25,19 @@ from speechlid_tpu.ops.specaugment import spec_augment
 
 
 class LidCrossEntropyTask(TaskModule):
-    rng_keys = ("dropout", "specaug", "params")
+    rng_keys = ("dropout", "specaug", "params", "mask", "mask_channel")
 
     def __init__(
         self,
         num_classes: int = 3,
         backend: str = "xvector",  # xvector|linear|resnet2|resnet34|resnet101|xvector2
+        # 'fbank' (reference LidModel) or SSL upstream features
+        # (reference PretrainLidModel, lid/PretrainLidModel.py:1-105)
+        featurizer: str = "fbank",
+        pt_path: Optional[str] = None,
+        feature_selection: str = "last_hidden_state",
+        ssl_config: Optional[Dict] = None,
+        freeze_upstream: bool = True,
         sample_rate: int = 16000,
         n_mels: int = 80,
         mask_times: int = 2,
@@ -45,7 +52,10 @@ class LidCrossEntropyTask(TaskModule):
     ) -> None:
         super().__init__()
         self.save_hyper_parameters(
-            num_classes=num_classes, backend=backend, sample_rate=sample_rate,
+            num_classes=num_classes, backend=backend, featurizer=featurizer,
+            pt_path=pt_path, feature_selection=feature_selection,
+            ssl_config=ssl_config, freeze_upstream=freeze_upstream,
+            sample_rate=sample_rate,
             n_mels=n_mels, mask_times=mask_times, t_mask_ratio=t_mask_ratio,
             f_mask=f_mask, lr=lr, optimizer=optimizer, schedule=schedule,
             schedule_conf=schedule_conf, clip_norm=clip_norm,
@@ -62,9 +72,53 @@ class LidCrossEntropyTask(TaskModule):
         self.schedule = schedule
         self.schedule_conf = schedule_conf or {}
         self.clip_norm = clip_norm
-        self.model = LidClassifier(
-            backend=backend, num_classes=num_classes, feat_dim=n_mels
-        )
+        self.featurizer_kind = featurizer
+        self.freeze_upstream = freeze_upstream
+        self.upstream = None
+        feat_dim = n_mels
+        if featurizer in ("wavlm", "wav2vec2"):
+            from speechlid_tpu.models.wav2vec2 import (
+                SSLFeaturizerModel,
+                wav2vec2_config,
+            )
+            from speechlid_tpu.models.wavlm import WavLMConfig
+
+            if pt_path:
+                if featurizer == "wavlm":
+                    from speechlid_tpu.models.wavlm import load_wavlm_checkpoint
+
+                    self._ssl_params, ssl_cfg = load_wavlm_checkpoint(pt_path)
+                else:
+                    from speechlid_tpu.models.wav2vec2 import (
+                        load_fairseq_wav2vec2_checkpoint,
+                    )
+
+                    self._ssl_params, ssl_cfg = (
+                        load_fairseq_wav2vec2_checkpoint(pt_path)
+                    )
+            else:
+                self._ssl_params = None
+                conf = dict(ssl_config or {})
+                ssl_cfg = (
+                    WavLMConfig.from_dict(conf)
+                    if featurizer == "wavlm"
+                    else wav2vec2_config(**conf)
+                )
+            self.upstream = SSLFeaturizerModel(
+                config=ssl_cfg, feature_selection=feature_selection
+            )
+            feat_dim = ssl_cfg.encoder_embed_dim
+        if self.upstream is not None:
+            from speechlid_tpu.models.classifier import PretrainLidClassifier
+
+            self.model = PretrainLidClassifier(
+                upstream=self.upstream, backend=backend,
+                num_classes=num_classes, feat_dim=feat_dim,
+            )
+        else:
+            self.model = LidClassifier(
+                backend=backend, num_classes=num_classes, feat_dim=feat_dim
+            )
         self.eer = EER(num_class=num_classes)
         self.cavg = CAvg(num_class=num_classes)
         self.acc = Accuracy()
@@ -87,12 +141,40 @@ class LidCrossEntropyTask(TaskModule):
             )
         return jnp.transpose(mel, (0, 2, 1)), f_len
 
+    def _model_inputs(self, wavs, wav_lengths, rngs=None):
+        if self.featurizer_kind == "fbank":
+            return self._features(wavs, wav_lengths, rngs)
+        return normalize_wav(wavs, wav_lengths), wav_lengths
+
     def init_variables(self, rng, sample_batch):
-        feats, f_len = self._features(
+        feats, f_len = self._model_inputs(
             jnp.asarray(sample_batch["wavs"]),
             jnp.asarray(sample_batch["wav_lengths"]),
         )
-        return self.model.init({"params": rng}, feats, f_len)
+        variables = self.model.init({"params": rng}, feats, f_len)
+        if getattr(self, "_ssl_params", None):
+            variables = dict(variables)
+            params = dict(variables["params"])
+            up = dict(params["upstream"])
+            up["upstream"] = self._ssl_params
+            params["upstream"] = up
+            variables["params"] = params
+        return variables
+
+    def before_train_loop(self, epoch: int):
+        if self.trainer is None or self.upstream is None:
+            return None
+        if not self.freeze_upstream:
+            return None
+
+        def mask_leaf(path, leaf):
+            keys = "/".join(getattr(p, "key", str(p)) for p in path)
+            frozen = keys.startswith("upstream")
+            return jnp.asarray(0.0 if frozen else 1.0)
+
+        return jax.tree_util.tree_map_with_path(
+            mask_leaf, self.trainer.state.params
+        )
 
     def config_optim(self):
         return make_optimizer(
@@ -101,7 +183,7 @@ class LidCrossEntropyTask(TaskModule):
         )
 
     def train_loop(self, variables, batch, rngs):
-        feats, f_len = self._features(
+        feats, f_len = self._model_inputs(
             batch["wavs"], batch["wav_lengths"], rngs=rngs
         )
         logits, mut = self.model.apply(
@@ -115,7 +197,7 @@ class LidCrossEntropyTask(TaskModule):
         return loss, {"acc": acc}, dict(mut)
 
     def val_loop(self, variables, batch):
-        feats, f_len = self._features(batch["wavs"], batch["wav_lengths"])
+        feats, f_len = self._model_inputs(batch["wavs"], batch["wav_lengths"])
         logits = self.model.apply(variables, feats, f_len)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, batch["langs"]

@@ -1,0 +1,67 @@
+"""Speech enhancement task (reference: se/se_module.py — a stub in the
+reference; here a working SI-SNR trainer for the DPRNN masker, whose
+trained model plugs into the LID eval harness as ``enhance_fn``, replacing
+the reference's closed-source HTTP SE service, lid/test.py:184-197)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechlid_tpu.core.module import TaskModule
+from speechlid_tpu.core.optim import make_optimizer
+from speechlid_tpu.models.se import DPRNNEnhancer, si_snr
+
+
+class SETask(TaskModule):
+    rng_keys = ("dropout",)
+
+    def __init__(self, enc_dim: int = 64, win: int = 16, chunk: int = 100,
+                 n_blocks: int = 2, hidden: int = 64,
+                 loss_type: str = "si_snr", lr: float = 1e-3,
+                 optimizer: str = "adam", **kw: Any):
+        super().__init__()
+        self.save_hyper_parameters(
+            enc_dim=enc_dim, win=win, chunk=chunk, n_blocks=n_blocks,
+            hidden=hidden, loss_type=loss_type, lr=lr, optimizer=optimizer,
+        )
+        self.lr = lr
+        self.optimizer = optimizer
+        self.loss_type = loss_type
+        self.model = DPRNNEnhancer(enc_dim=enc_dim, win=win, chunk=chunk,
+                                   n_blocks=n_blocks, hidden=hidden)
+
+    def init_variables(self, rng, batch):
+        return self.model.init({"params": rng}, jnp.asarray(batch["noisy"][:1]))
+
+    def config_optim(self):
+        return make_optimizer(self.optimizer, lr=self.lr, clip_norm=5.0)
+
+    def _loss(self, est, clean):
+        if self.loss_type == "l1":
+            return jnp.mean(jnp.abs(est - clean))
+        return -jnp.mean(si_snr(est, clean))
+
+    def train_loop(self, variables, batch, rngs):
+        est = self.model.apply(variables, batch["noisy"], rngs=rngs)
+        loss = self._loss(est, batch["clean"])
+        return loss, {"si_snr": jnp.mean(si_snr(est, batch["clean"]))}, {}
+
+    def val_loop(self, variables, batch):
+        est = self.model.apply(variables, batch["noisy"])
+        return {
+            "loss": self._loss(est, batch["clean"]),
+            "si_snr": jnp.mean(si_snr(est, batch["clean"])),
+        }
+
+    def make_enhance_fn(self, variables) -> Callable[[np.ndarray], np.ndarray]:
+        """→ per-utterance enhance hook for eval.LidEvaluator."""
+        apply = jax.jit(lambda w: self.model.apply(variables, w))
+
+        def enhance(wav: np.ndarray) -> np.ndarray:
+            return np.asarray(apply(jnp.asarray(wav[None, :])))[0]
+
+        return enhance

@@ -160,3 +160,46 @@ class TestSamplerAndFeeder:
         batch = next(iter(feeder))
         assert len(batch.paths) == 4
         assert batch.paths[0].endswith(".wav")
+
+
+class TestAugmentor:
+    def test_wav_augment_variants(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        from speechlid_tpu.data.augmentor import WavAugmentor
+
+        rng = np.random.RandomState(0)
+        wavs = rng.randn(2, 8000).astype(np.float32) * 0.1
+        lengths = np.asarray([8000, 6000], np.int32)
+        aug = WavAugmentor(speed=True, pitch=True, reverb=True, seed=3)
+        outs = []
+        for _ in range(4):
+            out, new_len = aug(wavs.copy(), lengths.copy())
+            assert out.shape == wavs.shape
+            assert np.isfinite(out).all()
+            assert (new_len <= 8000).all() and (new_len > 0).all()
+            outs.append(out)
+        # variants differ across calls (random speed/pitch/reverb draws)
+        assert any(not np.allclose(outs[0], o) for o in outs[1:])
+
+    def test_feeder_applies_augmentor(self, tmp_path, monkeypatch):
+        from speechlid_tpu.data.augmentor import WavAugmentor
+
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        paths = _write_corpus(str(tmp_path), n=8)
+        manifests = [RawManifest(p, max_duration=2.0, source="xf")
+                     for p in paths]
+        vocabs = {m.lang(): m.export_vocab() for m in manifests}
+        toks = {l: CTCTokenizer(v) for l, v in vocabs.items()}
+        lang2index = {l: i for i, l in enumerate(sorted(vocabs))}
+        dataset = MergedDataset(manifests, toks, lang2index)
+        sampler = MultiBatchSampler(dataset, batch_size=4, seed=0)
+        aug = WavAugmentor(speed=True, seed=0, use_dither=False,
+                           use_preemphasis=False)
+        feeder = BucketFeeder(dataset, sampler, buckets_s=(1.0,),
+                              augmentor=aug)
+        plain = BucketFeeder(dataset,
+                             MultiBatchSampler(dataset, 4, seed=0),
+                             buckets_s=(1.0,))
+        a = next(iter(feeder))
+        b = next(iter(plain))
+        assert a["wavs"].shape == b["wavs"].shape
