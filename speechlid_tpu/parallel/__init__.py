@@ -7,3 +7,10 @@ from speechlid_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from speechlid_tpu.parallel.sharding import (
+    CONFORMER_TP_RULES,
+    EP_RULES,
+    WAVLM_TP_RULES,
+    describe_shardings,
+    make_param_sharder,
+)

@@ -90,6 +90,10 @@ class LidASRTask(TaskModule):
         schedule: Optional[str] = "tristage",
         schedule_conf: Optional[Dict] = None,
         clip_norm: float = 20.0,
+        # compute dtype: 'bfloat16' puts activations/matmuls on the MXU's
+        # native precision (the AMP analog — SURVEY.md §2.5 row 'AMP');
+        # params and softmax/layernorm accumulations stay f32
+        dtype: str = "float32",
         # freeze schedule (reference before_train_loop epoch gates,
         # LidModule_ASR.py:279-304)
         freeze_featurizer_epoch: int = -1,
@@ -114,7 +118,7 @@ class LidASRTask(TaskModule):
             clip_norm=clip_norm,
             freeze_featurizer_epoch=freeze_featurizer_epoch,
             freeze_transformer_epoch=freeze_transformer_epoch,
-            keep_train_lang=keep_train_lang,
+            keep_train_lang=keep_train_lang, dtype=dtype,
         )
         self.lang2vocab = lang2vocab
         self.lang2index = lang2index
@@ -144,11 +148,14 @@ class LidASRTask(TaskModule):
 
         self.featurizer_kind = featurizer
         self.pt_path = pt_path
+        import jax.numpy as _jnp
+
+        self.dtype = getattr(_jnp, dtype)
         if featurizer == "conformer":
             feat_module = ConformerModel(
                 n_blocks=n_blocks, n_mels=n_mels, encoder_dim=encoder_dim,
                 heads=heads, dim_head=dim_head, sub_sampling=sub_sampling,
-                use_double_swish=double_swish,
+                use_double_swish=double_swish, dtype=self.dtype,
             )
         elif featurizer in ("wavlm", "wav2vec2"):
             from speechlid_tpu.models.wav2vec2 import (
@@ -198,6 +205,7 @@ class LidASRTask(TaskModule):
             dim_head=head_dim_head,
             num_head=head_num_head,
             use_double_swish=double_swish,
+            dtype=self.dtype,
         )
         self.eer = EER(num_class=self.n_lang)
         self.cavg = CAvg(num_class=self.n_lang)

@@ -1,0 +1,139 @@
+"""Sharding tests on the 8-virtual-device CPU mesh: dp/tp/ep layouts
+produce the same numerics as replicated execution."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from speechlid_tpu.models.conformer import ConformerModel
+from speechlid_tpu.models.multilang import MutiLangModel
+from speechlid_tpu.ops.ctc import ctc_loss
+from speechlid_tpu.parallel import (
+    CONFORMER_TP_RULES,
+    EP_RULES,
+    WAVLM_TP_RULES,
+    describe_shardings,
+    make_mesh,
+    make_param_sharder,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8
+    mesh = make_mesh(data=4, model=2)
+    feat = ConformerModel(n_blocks=2, encoder_dim=64, heads=2, dim_head=32,
+                          sub_sampling=4, use_stochastic_depth=False)
+    model = MutiLangModel(featurizer=feat, vocab_sizes=(8, 8, 8, 8),
+                          linear_dim=64, dim_head=16, num_head=4)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 101, 80), jnp.float32)
+    lengths = jnp.full((8,), 101, jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng, "stochastic_depth": rng},
+        x, lengths, method=MutiLangModel.infer,
+    )
+    return mesh, model, variables, x, lengths
+
+
+class TestTPShardings:
+    def test_rules_applied(self, setup):
+        mesh, model, variables, x, lengths = setup
+        sharder = make_param_sharder(mesh, EP_RULES + CONFORMER_TP_RULES)
+        params = sharder(variables["params"])
+        report = describe_shardings(params)
+        # FFN expand/contract and attention projections are split
+        assert any("ff1/Dense_0/kernel" in r and "'model'" in r for r in report)
+        assert any("to_out/kernel" in r for r in report)
+        # stacked heads split on the language axis
+        assert any(r.startswith("heads/") for r in report)
+
+    def test_sharded_forward_matches_replicated(self, setup):
+        mesh, model, variables, x, lengths = setup
+        base = model.apply(variables, x, lengths)[0]
+
+        sharder = make_param_sharder(mesh, EP_RULES + CONFORMER_TP_RULES)
+        params = sharder(variables["params"])
+        xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+        lb = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+        bs = variables.get("batch_stats", {})
+        with mesh:
+            out = jax.jit(
+                lambda p, x, l: model.apply(
+                    {"params": p, "batch_stats": bs}, x, l
+                )[0]
+            )(params, xb, lb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4
+        )
+
+    def test_sharded_grads_match(self, setup):
+        mesh, model, variables, x, lengths = setup
+        labels = jnp.asarray(
+            np.random.RandomState(1).randint(0, 7, (8, 5)), jnp.int32
+        )
+        lab_lens = jnp.full((8,), 5, jnp.int32)
+        langs = jnp.asarray(np.arange(8) % 4, jnp.int32)
+
+        bs = variables.get("batch_stats", {})
+
+        def loss_fn(params, x, lengths):
+            logits, feat_lens = model.apply(
+                {"params": params, "batch_stats": bs}, x, lengths
+            )
+            own = jnp.take_along_axis(
+                logits, langs[None, :, None, None], axis=0
+            )[0]
+            lp = jax.nn.log_softmax(own, axis=-1)
+            return ctc_loss(lp, labels, feat_lens, lab_lens, blank=-1)
+
+        g_base = jax.grad(loss_fn)(variables["params"], x, lengths)
+
+        sharder = make_param_sharder(mesh, EP_RULES + CONFORMER_TP_RULES)
+        params = sharder(variables["params"])
+        xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+        with mesh:
+            g_shard = jax.jit(jax.grad(loss_fn))(params, xb, lengths)
+        for a, b in zip(jax.tree_util.tree_leaves(g_base),
+                        jax.tree_util.tree_leaves(jax.device_get(g_shard))):
+            np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-4)
+
+    def test_indivisible_dims_degrade_to_replicated(self, setup):
+        mesh, *_ = setup
+        sharder = make_param_sharder(mesh, [(r".*", P("model"))])
+        params = {"w": jnp.ones((7, 3))}  # 7 not divisible by model=2
+        out = sharder(params)
+        spec = out["w"].sharding.spec
+        assert all(s is None for s in spec) or spec == P()
+
+
+class TestWavLMTP:
+    def test_wavlm_rules_applied(self):
+        from speechlid_tpu.models.wavlm import WavLM, WavLMConfig
+
+        mesh = make_mesh(data=4, model=2)
+        cfg = WavLMConfig.from_dict(dict(
+            encoder_layers=1, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+            encoder_attention_heads=4,
+            conv_feature_layers="[(32,10,5)] + [(32,3,2)] * 2",
+            dropout=0.0,
+        ))
+        model = WavLM(cfg)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 3200), jnp.float32)
+        params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+        sharder = make_param_sharder(mesh, WAVLM_TP_RULES)
+        sharded = sharder(params)
+        report = describe_shardings(sharded)
+        assert any("fc1/kernel" in r for r in report)
+        assert any("q_proj/kernel" in r for r in report)
+        base = model.apply({"params": params}, x)[0]
+        with mesh:
+            out = jax.jit(
+                lambda p: model.apply({"params": p}, x)[0]
+            )(sharded)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4
+        )
