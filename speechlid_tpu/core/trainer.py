@@ -69,6 +69,8 @@ class Trainer:
         checkpoint_path: Optional[str] = None,  # resume source
         use_progress_bar: bool = True,
         log_interval: int = 10,
+        profile_dir: Optional[str] = None,  # jax.profiler trace output
+        profile_epochs: int = 1,  # capture the first N train epochs
     ) -> None:
         self.total_epoch = total_epoch
         self.accum_grad = accum_grad
@@ -85,6 +87,8 @@ class Trainer:
         self.checkpoint_path = checkpoint_path
         self.use_progress_bar = use_progress_bar
         self.log_interval = log_interval
+        self.profile_dir = profile_dir
+        self.profile_epochs = profile_epochs
 
         self.module: Optional[TaskModule] = None
         self.state: Optional[TrainState] = None
@@ -226,7 +230,18 @@ class Trainer:
             if new_mask is not None:
                 self._mask = new_mask
 
-            train_metrics = self._run_train_epoch(epoch, train_loader)
+            # SURVEY.md §5.1: the reference only has a host wall-clock
+            # registry — here the first N epochs can additionally capture a
+            # jax.profiler device trace (xprof/tensorboard viewable)
+            from speechlid_tpu.core.profile import device_trace
+
+            trace_dir = (
+                self.profile_dir
+                if self.profile_dir and epoch - self.start_epoch < self.profile_epochs
+                else None
+            )
+            with device_trace(trace_dir):
+                train_metrics = self._run_train_epoch(epoch, train_loader)
 
             if self.use_swa and epoch >= swa_start:
                 self.state = self.state.swa_update()

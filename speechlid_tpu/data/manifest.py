@@ -69,7 +69,10 @@ def parse_xf_manifest(manifest_path: str = None, split: str = "train") -> List[D
             if not line.strip():
                 continue
             name, _, text = line.partition("\t")
-            path = os.path.join(base, name.strip())
+            name = name.strip()
+            # absolute paths pass through (prepare_manifest output);
+            # relative names resolve under wav/<split> like the reference
+            path = name if os.path.isabs(name) else os.path.join(base, name)
             try:
                 duration = wav_duration(path)
             except Exception:

@@ -114,6 +114,7 @@ class SSLFeaturizerModel(nn.Module):
     config: WavLMConfig
     feature_selection: str = "last_hidden_state"
     mask_attention: bool = False
+    remat: bool = False
 
     def subsampled_lengths(self, lengths: jax.Array) -> jax.Array:
         return conv_out_lengths(lengths, self.config.conv_layers)
@@ -121,7 +122,8 @@ class SSLFeaturizerModel(nn.Module):
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
         upstream = WavLM(
-            self.config, mask_attention=self.mask_attention, name="upstream"
+            self.config, mask_attention=self.mask_attention,
+            remat=self.remat, name="upstream",
         )
         if self.feature_selection == "last_hidden_state":
             feats, _ = upstream(

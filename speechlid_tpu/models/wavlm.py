@@ -404,6 +404,12 @@ class WavLM(nn.Module):
 
     config: WavLMConfig
     mask_attention: bool = False
+    # rematerialize each encoder layer in the backward pass: trades ~30%
+    # extra FLOPs for not keeping the O(B·H·T²) gated-bias attention
+    # intermediates alive across the whole stack — required for long
+    # sequences / low-downsample configs (found via a 35 GB OOM, see
+    # tests/verify notes)
+    remat: bool = False
 
     def feat_lengths(self, sample_lengths: jax.Array) -> jax.Array:
         return conv_out_lengths(sample_lengths, self.config.conv_layers)
@@ -487,8 +493,14 @@ class WavLM(nn.Module):
 
         layer_results = [x]
         position_bias = None
+        layer_cls = (
+            # arg 4 == deterministic (0 is self in flax's remat indexing)
+            nn.remat(WavLMEncoderLayer, static_argnums=(4,))
+            if self.remat
+            else WavLMEncoderLayer
+        )
         for i in range(cfg.encoder_layers):
-            layer = WavLMEncoderLayer(
+            layer = layer_cls(
                 cfg,
                 has_relative_attention_bias=(
                     cfg.relative_position_embedding and i == 0

@@ -17,6 +17,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host rendezvous (the env://(MASTER_ADDR/PORT) / tcp:// analog,
+    ccml/trainer.py:67-80): wraps ``jax.distributed.initialize``.  On cloud
+    TPU pods all three args auto-detect; explicit values mirror the
+    reference's (init_method, world_size, rank) triple.  After this,
+    ``jax.devices()`` spans every host and the same jit program runs SPMD —
+    each process feeds its shard (MultiBatchSampler shard_id/num_shards)
+    and rank-0 gating uses ``jax.process_index()``."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
