@@ -141,6 +141,9 @@ def main(argv: List[str] | None = None) -> None:
     parser.add_argument("overrides", nargs="*", help="key=value overrides")
     args = parser.parse_args(argv)
 
+    from speechlid_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     conf = load_config(args.config_dir, args.config_name, args.overrides)
     logging.basicConfig(
         level=getattr(logging, str(conf.get("log_level", "INFO"))),

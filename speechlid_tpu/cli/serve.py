@@ -1,0 +1,314 @@
+"""HTTP inference server: LID scoring and speech enhancement.
+
+The reference *consumed* a closed-source SE model over HTTP at eval time
+(lid/test.py:184-197 POSTs a wav to localhost:8080/se and blends the
+result).  This serves both directions TPU-native:
+
+- ``POST /lid``  raw float32 PCM body (16 kHz) → JSON {lang, scores}
+- ``POST /se``   raw float32 PCM body → enhanced float32 PCM body
+- ``GET  /healthz`` → {"status": "ok"}
+
+Single-chip serving: requests are padded to the nearest duration bucket so
+the jitted graphs are reused (no per-length recompiles); a lock serializes
+device work (stdlib http.server, thread-per-request).
+
+Usage:
+    python -m speechlid_tpu.cli.serve --ckpt exp/.../last.ckpt \
+        --config-dir configs --config-name lid_supervised --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+BUCKETS_S = (1.0, 2.0, 4.0, 8.0, 13.0, 17.0)
+
+
+class _DeviceLoop:
+    """All jax work funnels through the MAIN thread.
+
+    On the axon remote-compile TPU stack, device work issued from any
+    thread other than the one that initialized jax crashes the TPU worker
+    process.  So the http server runs on a daemon thread and request
+    handlers marshal jobs here; the main thread sits in :meth:`run`
+    executing them (it is also the thread that restored the checkpoint and
+    runs warmup)."""
+
+    def __init__(self):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._started = False
+
+    def run_forever(self):
+        self._started = True
+        while True:
+            fn, args, out = self._q.get()
+            try:
+                out["result"] = fn(*args)
+            except Exception as e:  # noqa: BLE001 — relayed to caller
+                out["error"] = e
+            out["event"].set()
+
+    def call(self, fn, *args):
+        if not self._started:
+            # warmup phase: we ARE the main thread — execute inline
+            return fn(*args)
+        out = {"event": threading.Event()}
+        self._q.put((fn, args, out))
+        out["event"].wait()
+        if "error" in out:
+            raise out["error"]
+        return out["result"]
+
+
+class InferenceState:
+    def __init__(self, lid_fn=None, se_fn=None, index2lang=None,
+                 sample_rate=16000):
+        self._device = _DeviceLoop()
+        self.lid_fn = lid_fn
+        self.se_fn = se_fn
+        self.index2lang = index2lang or {}
+        self.sample_rate = sample_rate
+        self.lock = threading.Lock()
+
+    def warmup(self) -> None:
+        """Compile every bucket's graph up front (no cold-start latency) and
+        BLOCK on the results.
+
+        Warmup input is low-level noise, not zeros: executing this graph on
+        all-zero audio faults the axon TPU kernel asynchronously, poisoning
+        the worker so the *next* request fails — found via a long bisect.
+        The same guard is applied to served audio (see :meth:`lid`).
+        """
+        rng = np.random.RandomState(0)
+        for b in BUCKETS_S:
+            t = int(b * self.sample_rate)
+            wav = rng.randn(t).astype(np.float32) * 1e-3
+            if self.lid_fn is not None:
+                self.lid(wav)  # materializes scores → blocks on the graph
+            if self.se_fn is not None:
+                self.enhance(wav)
+            logging.info("warmed %.1fs bucket", b)
+
+    def _bucket(self, n: int) -> int:
+        for b in BUCKETS_S:
+            t = int(b * self.sample_rate)
+            if n <= t:
+                return t
+        return int(BUCKETS_S[-1] * self.sample_rate)
+
+    def lid(self, wav: np.ndarray) -> Dict:
+        t = self._bucket(len(wav))
+        padded = np.zeros((1, t), np.float32)
+        padded[0, : min(len(wav), t)] = wav[:t]
+        # anti-degenerate guard: constant/silent audio faults the axon TPU
+        # kernel; -120 dB dither is inaudible and keeps stats well-defined
+        padded += (1e-6 * np.random.default_rng(0).standard_normal(
+            padded.shape)).astype(np.float32)
+
+        def job():
+            import jax.numpy as jnp
+
+            out = self.lid_fn(
+                jnp.asarray(padded), jnp.asarray([min(len(wav), t)])
+            )
+            return (
+                np.asarray(out["scores"], np.float32),
+                np.asarray(out["pred_lang"]),
+            )
+
+        with self.lock:
+            scores_all, pred_all = self._device.call(job)
+        scores = scores_all[0]
+        pred = int(pred_all[0])
+        return {
+            "lang": self.index2lang.get(pred, str(pred)),
+            "scores": {
+                self.index2lang.get(i, str(i)): float(s)
+                for i, s in enumerate(scores)
+            },
+        }
+
+    def enhance(self, wav: np.ndarray) -> np.ndarray:
+        t = self._bucket(len(wav))
+        padded = np.zeros(t, np.float32)
+        padded[: min(len(wav), t)] = wav[:t]
+        with self.lock:
+            out = self._device.call(
+                lambda: np.asarray(self.se_fn(padded), np.float32)
+            )
+        return out[: len(wav)]
+
+
+def make_handler(state: InferenceState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logging.info("%s " + fmt, self.client_address[0], *args)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def _send(self, code: int, payload: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b'{"status": "ok"}', "application/json")
+            else:
+                self._send(404, b'{"error": "not found"}', "application/json")
+
+        def do_POST(self):
+            try:
+                raw = self._body()
+                if len(raw) % 4 != 0 or not raw:
+                    self._send(
+                        400,
+                        b'{"error": "body must be non-empty float32 PCM"}',
+                        "application/json",
+                    )
+                    return
+                wav = np.frombuffer(raw, np.float32)
+                if self.path == "/lid" and state.lid_fn is not None:
+                    result = state.lid(wav)
+                    self._send(
+                        200, json.dumps(result).encode(), "application/json"
+                    )
+                elif self.path == "/se" and state.se_fn is not None:
+                    out = state.enhance(wav)
+                    self._send(200, out.tobytes(), "application/octet-stream")
+                else:
+                    self._send(
+                        404, b'{"error": "unknown endpoint"}',
+                        "application/json",
+                    )
+            except Exception as e:  # noqa: BLE001 — serve errors as 500s
+                logging.exception("request failed")
+                self._send(
+                    500, json.dumps({"error": str(e)}).encode(),
+                    "application/json",
+                )
+
+    return Handler
+
+
+def http_enhance_client(url: str):
+    """Client matching the reference's eval-time SE usage
+    (lid/test.py:184-197): wav (T,) → enhanced wav (T,), usable as the
+    evaluator's ``enhance_fn``."""
+    import urllib.request
+
+    def enhance(wav: np.ndarray) -> np.ndarray:
+        req = urllib.request.Request(
+            url, data=np.asarray(wav, np.float32).tobytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return np.frombuffer(resp.read(), np.float32)
+
+    return enhance
+
+
+def build_lid_fn(args):
+    import jax
+
+    from flax import serialization
+
+    from speechlid_tpu.cli.main_lid import build_data, build_feeder
+    from speechlid_tpu.core import load_config
+    from speechlid_tpu.core.checkpoint import load_checkpoint
+    from speechlid_tpu.tasks import LidASRTask
+
+    conf = load_config(args.config_dir, args.config_name, args.overrides)
+    data = build_data(conf)
+    payload = load_checkpoint(args.ckpt)
+    hparams = dict(payload["meta"].get("hyper_parameters", {}))
+    module_conf = conf.module.to_dict()
+    module_conf.pop("task", None)
+    hparams.update(module_conf)
+    task = LidASRTask(tokenizers=data["tokenizers"], **hparams)
+    feeder = build_feeder(conf, data["val_dataset"] or data["dataset"],
+                          train=False)
+    sample = next(iter(feeder))
+    variables = task.init_variables(jax.random.PRNGKey(0), sample)
+    params = serialization.from_state_dict(
+        variables["params"], payload["state"]["params"]
+    )
+    restored = dict(variables)
+    restored["params"] = params
+    infer = jax.jit(task.infer_fn())
+    index2lang = task.index2lang
+    return (lambda w, l: infer(restored, w, l)), index2lang
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ckpt", default=None, help="LID checkpoint")
+    parser.add_argument("--se-ckpt", default=None, help="SE checkpoint")
+    parser.add_argument("--config-dir", default="configs")
+    parser.add_argument("--config-name", default=None)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--buckets", default=None,
+                        help="comma-separated bucket durations in seconds "
+                             "(default: 1,2,4,8,13,17)")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+    from speechlid_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    logging.basicConfig(level=logging.INFO)
+
+    lid_fn = index2lang = None
+    if args.ckpt:
+        lid_fn, index2lang = build_lid_fn(args)
+
+    se_fn = None
+    if args.se_ckpt:
+        import jax
+
+        from flax import serialization
+
+        from speechlid_tpu.core.checkpoint import load_checkpoint
+        from speechlid_tpu.tasks.se import SETask
+
+        payload = load_checkpoint(args.se_ckpt)
+        task = SETask(**payload["meta"].get("hyper_parameters", {}))
+        import jax.numpy as jnp
+
+        v = task.model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 16000))
+        )
+        params = serialization.from_state_dict(
+            v["params"], payload["state"]["params"]
+        )
+        fn = task.make_enhance_fn({"params": params})
+        se_fn = fn
+
+    global BUCKETS_S
+    if args.buckets:
+        BUCKETS_S = tuple(float(b) for b in args.buckets.split(","))
+    state = InferenceState(lid_fn, se_fn, index2lang)
+    logging.info("warming up bucket graphs (%s)...", BUCKETS_S)
+    state.warmup()
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    logging.info("serving on %s:%d (lid=%s se=%s)", args.host, args.port,
+                 bool(lid_fn), bool(se_fn))
+    # main thread becomes the device-execution loop (axon single-thread rule)
+    state._device.run_forever()
+
+
+if __name__ == "__main__":
+    main()

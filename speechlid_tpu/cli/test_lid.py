@@ -54,6 +54,9 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    from speechlid_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from speechlid_tpu.core import load_config
     from speechlid_tpu.core.checkpoint import load_checkpoint
     from speechlid_tpu.core.checkpoint import restore_state

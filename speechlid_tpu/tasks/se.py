@@ -57,11 +57,25 @@ class SETask(TaskModule):
             "si_snr": jnp.mean(si_snr(est, batch["clean"])),
         }
 
-    def make_enhance_fn(self, variables) -> Callable[[np.ndarray], np.ndarray]:
-        """→ per-utterance enhance hook for eval.LidEvaluator."""
+    def make_enhance_fn(
+        self, variables, device: str = "cpu"
+    ) -> Callable[[np.ndarray], np.ndarray]:
+        """→ per-utterance enhance hook for eval.LidEvaluator / serving.
+
+        Defaults to the CPU backend: the dual-path LSTM graph is scan-heavy
+        (poor MXU fit) and long-input variants have faulted the experimental
+        axon TPU worker; on CPU it runs fine and overlaps the accelerator,
+        mirroring the reference's SE-as-a-separate-service deployment
+        (lid/test.py:184-197).
+        """
+        try:
+            dev = jax.devices(device)[0]
+        except RuntimeError:
+            dev = jax.devices()[0]
         apply = jax.jit(lambda w: self.model.apply(variables, w))
 
         def enhance(wav: np.ndarray) -> np.ndarray:
-            return np.asarray(apply(jnp.asarray(wav[None, :])))[0]
+            with jax.default_device(dev):
+                return np.asarray(apply(jnp.asarray(wav[None, :])))[0]
 
         return enhance
