@@ -160,7 +160,7 @@ def main(argv=None) -> None:
     from speechlid_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
     {"lm": run_lm, "rml": run_rml, "spec_pred": run_spec_pred,
      "image": run_image, "se": run_se}[args.cmd](args)
 

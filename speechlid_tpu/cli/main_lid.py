@@ -148,6 +148,7 @@ def main(argv: List[str] | None = None) -> None:
     logging.basicConfig(
         level=getattr(logging, str(conf.get("log_level", "INFO"))),
         format="%(asctime)s %(levelname)s %(message)s",
+        force=True,  # jax.config.update may have installed a root handler
     )
     logging.info("config: %s", conf.to_dict())
 

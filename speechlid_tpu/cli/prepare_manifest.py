@@ -90,7 +90,7 @@ def main(argv=None) -> None:
     parser.add_argument("--dev-ratio", type=float, default=0.1)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
     for lang in sorted(os.listdir(args.root)):
         lang_dir = os.path.join(args.root, lang)
         if not os.path.isdir(lang_dir):

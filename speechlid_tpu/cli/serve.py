@@ -268,7 +268,7 @@ def main(argv=None) -> None:
     from speechlid_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
 
     lid_fn = index2lang = None
     if args.ckpt:

@@ -118,7 +118,7 @@ def main(argv=None) -> None:
     parser.add_argument("--config-dir", default="configs")
     parser.add_argument("--out", default="exp/sweep")
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
     with open(args.sweep_yaml) as f:
         spec = yaml.safe_load(f)
     run_sweep_spec(spec, args.config_dir, args.out)

@@ -52,7 +52,7 @@ def main(argv=None) -> None:
                         help="run the full SNR x noise grid")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
 
     from speechlid_tpu.core.compile_cache import enable_compilation_cache
 

@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 
 from speechlid_tpu.core.callbacks.base import Callback
-from speechlid_tpu.core.checkpoint import save_checkpoint
+from speechlid_tpu.core.checkpoint import save_checkpoint, wait_for_checkpoints
 
 
 class CkptCallback(Callback):
@@ -30,8 +30,10 @@ class CkptCallback(Callback):
         mode: str = "min",  # 'min' | 'max'
         save_topk: int = 3,
         interval: int = 1,
+        async_write: bool = True,  # background serialization + disk I/O
     ) -> None:
         super().__init__(interval)
+        self.async_write = async_write
         self.ckpt_path = os.path.abspath(os.path.expanduser(ckpt_path))
         self.monitor = monitor
         self.mode = mode
@@ -76,10 +78,16 @@ class CkptCallback(Callback):
             return
         if not self._scanned:
             self._rescan()
+        # settle the previous epoch's async writes so top-k pruning below
+        # never races an in-flight file
+        wait_for_checkpoints()
         os.makedirs(self.ckpt_path, exist_ok=True)
         state = self.trainer.state
         meta = self.trainer.checkpoint_meta(epoch, metrics)
-        save_checkpoint(os.path.join(self.ckpt_path, "last.ckpt"), state, meta)
+        save_checkpoint(
+            os.path.join(self.ckpt_path, "last.ckpt"), state, meta,
+            async_write=self.async_write,
+        )
 
         value = metrics.get(self.monitor)
         if value is None or not math.isfinite(value):
@@ -92,13 +100,16 @@ class CkptCallback(Callback):
         priority = value if self.mode == "max" else -value
         if len(self._heap) < self.save_topk:
             path = self._fname(epoch, value)
-            save_checkpoint(path, state, meta)
+            save_checkpoint(path, state, meta, async_write=self.async_write)
             heapq.heappush(self._heap, (priority, path))
         elif priority > self._heap[0][0]:
             _, worst_path = heapq.heapreplace(
                 self._heap, (priority, self._fname(epoch, value))
             )
-            save_checkpoint(self._fname(epoch, value), state, meta)
+            save_checkpoint(
+                self._fname(epoch, value), state, meta,
+                async_write=self.async_write,
+            )
             if os.path.exists(worst_path):
                 os.remove(worst_path)
 

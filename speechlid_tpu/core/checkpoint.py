@@ -14,23 +14,52 @@ Restoring needs a template TrainState (the functional analog of
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 from flax import serialization
 
+_pending_writes: list = []
 
-def save_checkpoint(path: str, state: Any, meta: Optional[Dict] = None) -> None:
+
+def save_checkpoint(
+    path: str, state: Any, meta: Optional[Dict] = None,
+    async_write: bool = False,
+) -> None:
+    """Write {state, meta} as msgpack.  With ``async_write`` the D2H fetch
+    happens synchronously (so training can donate/overwrite device buffers)
+    but serialization + disk I/O run on a background thread — the
+    orbax-async analog (SURVEY.md §5.4); call :func:`wait_for_checkpoints`
+    before process exit."""
     payload = {
         "state": serialization.to_state_dict(jax.device_get(state)),
         "meta": meta or {},
     }
-    data = serialization.msgpack_serialize(payload)
-    tmp = path + f".tmp{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+
+    def write():
+        data = serialization.msgpack_serialize(payload)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    if async_write:
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        _pending_writes.append(t)
+        # opportunistic reaping
+        _pending_writes[:] = [w for w in _pending_writes if w.is_alive()]
+    else:
+        write()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all async checkpoint writes have landed."""
+    for t in list(_pending_writes):
+        t.join()
+    _pending_writes.clear()
 
 
 def load_checkpoint(path: str) -> Dict:

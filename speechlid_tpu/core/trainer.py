@@ -259,6 +259,9 @@ class Trainer:
 
         if self.use_swa:
             self._finalize_swa(train_loader)
+        from speechlid_tpu.core.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # settle async ckpt writes before returning
 
     def _run_train_epoch(self, epoch: int, loader: Iterable) -> Dict[str, float]:
         outputs: List[Dict] = []
@@ -452,6 +455,11 @@ class Trainer:
         epoch + logger counters + plateau."""
         payload = load_checkpoint(path)
         self.state = restore_state(self.state, payload)
+        if self.mesh is None:
+            # move restored numpy leaves onto the device up front: calling
+            # jit with a large all-numpy pytree transfers at dispatch time,
+            # which has proven fragile on the axon TPU stack
+            self.state = jax.device_put(self.state)
         self._place_state()
         meta = payload.get("meta", {})
         self.start_epoch = int(meta.get("epoch", -1)) + 1

@@ -1,0 +1,171 @@
+"""Core utilities: hydra-compatible config loader, TTL cache, profiler,
+serve handler logic (stubbed device fns, no TPU needed)."""
+
+import io
+import json
+import os
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from speechlid_tpu.core import ConfigDict, load_config
+from speechlid_tpu.core.cache import TimeUnit, cacheable
+from speechlid_tpu.core.profile import TimeCostRecoder, register_cost_statistic
+
+
+class TestConfig:
+    @pytest.fixture()
+    def tree(self, tmp_path):
+        (tmp_path / "base").mkdir()
+        (tmp_path / "base" / "custom.yaml").write_text(
+            "log_level: INFO\nexp_dir: exp/${experiment_name}\n"
+        )
+        (tmp_path / "main.yaml").write_text(
+            "defaults:\n  - base/custom\n  - _self_\n"
+            "model_name: conformer\n"
+            "experiment_name: ${model_name}_run\n"
+            "trainer:\n  total_epoch: 10\n  lr: 1.0e-3\n"
+        )
+        return str(tmp_path)
+
+    def test_defaults_and_interpolation(self, tree):
+        conf = load_config(tree, "main")
+        assert conf.log_level == "INFO"
+        assert conf.experiment_name == "conformer_run"
+        assert conf.exp_dir == "exp/conformer_run"
+        assert conf.trainer.total_epoch == 10
+
+    def test_overrides_typed(self, tree):
+        conf = load_config(
+            tree, "main",
+            ["trainer.total_epoch=3", "trainer.lr=5e-4",
+             "model_name=xvector", "trainer.new_flag=true"],
+        )
+        assert conf.trainer.total_epoch == 3
+        assert abs(conf.trainer.lr - 5e-4) < 1e-12  # sci-notation coerced
+        assert conf.trainer.new_flag is True
+        assert conf.experiment_name == "xvector_run"  # re-interpolated
+
+    def test_interpolation_cycle_detected(self, tmp_path):
+        (tmp_path / "c.yaml").write_text("a: ${b}\nb: ${a}\n")
+        with pytest.raises(ValueError, match="cycle"):
+            load_config(str(tmp_path), "c")
+
+    def test_to_dict_roundtrip(self, tree):
+        conf = load_config(tree, "main")
+        d = conf.to_dict()
+        assert isinstance(d, dict) and not isinstance(d, ConfigDict)
+        assert d["trainer"]["total_epoch"] == 10
+
+
+class TestCache:
+    def test_memoizes_by_kwarg(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SPEECHLID_CACHE_DIR", str(tmp_path))
+        monkeypatch.delenv("SPEECHLID_CACHE_DISABLE", raising=False)
+        calls = []
+
+        @cacheable(cache_key="path", project="t", duration=1,
+                   time_unit=TimeUnit.HOUR)
+        def scan(path=None):
+            calls.append(path)
+            return {"n": len(calls)}
+
+        assert scan(path="a") == {"n": 1}
+        assert scan(path="a") == {"n": 1}  # cached
+        assert scan(path="b") == {"n": 2}  # different key
+        assert calls == ["a", "b"]
+
+    def test_disable_env(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SPEECHLID_CACHE_DIR", str(tmp_path))
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        calls = []
+
+        @cacheable(cache_key="path", project="t2")
+        def scan(path=None):
+            calls.append(path)
+            return 1
+
+        scan(path="a"); scan(path="a")
+        assert len(calls) == 2
+
+
+class TestProfiler:
+    def test_accumulates(self):
+        rec = TimeCostRecoder()
+        rec.remove_recoder()
+
+        @register_cost_statistic()
+        def slow():
+            time.sleep(0.01)
+            return 42
+
+        assert slow() == 42
+        snap = rec.snapshot()
+        key = next(k for k in snap if "slow" in k)
+        total, count = snap[key]
+        assert count == 1 and total >= 0.01
+        assert "slow" in rec.pretty_table()
+        rec.remove_recoder()
+
+
+class TestServeHandlers:
+    @pytest.fixture()
+    def server(self):
+        import threading
+
+        from http.server import ThreadingHTTPServer
+
+        from speechlid_tpu.cli.serve import InferenceState, make_handler
+
+        def fake_lid(w, l):
+            import jax.numpy as jnp
+
+            return {"scores": jnp.asarray([[0.5, 0.2]]),
+                    "pred_lang": jnp.asarray([0])}
+
+        def fake_se(w):
+            return w * 0.5
+
+        state = InferenceState(fake_lid, fake_se, {0: "aa", 1: "bb"})
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        # device loop must run for requests; use a thread here (CPU tests)
+        threading.Thread(target=state._device.run_forever,
+                         daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_lid_endpoint(self, server):
+        wav = np.random.RandomState(0).randn(16000).astype(np.float32)
+        req = urllib.request.Request(
+            server + "/lid", data=wav.tobytes(), method="POST"
+        )
+        out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert out["lang"] == "aa"
+        assert set(out["scores"]) == {"aa", "bb"}
+
+    def test_se_endpoint(self, server):
+        wav = np.ones(8000, np.float32)
+        req = urllib.request.Request(
+            server + "/se", data=wav.tobytes(), method="POST"
+        )
+        out = np.frombuffer(
+            urllib.request.urlopen(req, timeout=30).read(), np.float32
+        )
+        assert out.shape == (8000,)
+
+    def test_bad_body_400(self, server):
+        req = urllib.request.Request(
+            server + "/lid", data=b"abc", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+    def test_health(self, server):
+        out = json.loads(
+            urllib.request.urlopen(server + "/healthz", timeout=30).read()
+        )
+        assert out == {"status": "ok"}
