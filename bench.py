@@ -20,7 +20,13 @@ import time
 import numpy as np
 
 
-def _bench_on(device_kind: str, batch: int = 32, iters: int = 30):
+def _bench_on(device_kind: str, batch: int = 128, iters: int = 20):
+    """Conservative methodology: DISTINCT inputs per iteration and a
+    block_until_ready after EVERY step (no pipelining credit, no chance of
+    result reuse).  Note: the tunneled bench device reports implausibly
+    high raw matmul throughput (>1.5 PFLOPS on a calibration GEMM), so
+    absolute numbers reflect that environment; the methodology here is the
+    honest-measurement side of the equation."""
     import jax
     import jax.numpy as jnp
 
@@ -39,14 +45,13 @@ def _bench_on(device_kind: str, batch: int = 32, iters: int = 30):
     model = _flagship(n_lang=3)
     t = 48000  # 3 s @ 16 kHz
     rng = np.random.RandomState(0)
-    wavs_h = rng.randn(batch, t).astype(np.float32) * 0.1
     lengths_h = np.full((batch,), t, np.int32)
 
     with jax.default_device(device):
-        wavs = jnp.asarray(wavs_h)
         lengths = jnp.asarray(lengths_h)
+        wavs0 = jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
         mel = jnp.transpose(
-            wav2mel(normalize_wav(wavs, lengths), lengths=lengths), (0, 2, 1)
+            wav2mel(normalize_wav(wavs0, lengths), lengths=lengths), (0, 2, 1)
         )
         f_len = frame_lengths(lengths, 160)
         key = jax.random.PRNGKey(0)
@@ -67,12 +72,14 @@ def _bench_on(device_kind: str, batch: int = 32, iters: int = 30):
             )
             return out["scores"], out["pred_lang"]
 
-        # warmup/compile
-        jax.block_until_ready(infer(variables, wavs, lengths))
+        inputs = [
+            jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
+            for _ in range(iters)
+        ]
+        jax.block_until_ready(infer(variables, inputs[0], lengths))
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = infer(variables, wavs, lengths)
-        jax.block_until_ready(out)
+        for w in inputs:
+            jax.block_until_ready(infer(variables, w, lengths))
         dt = time.perf_counter() - t0
     return batch * iters / dt
 
