@@ -19,8 +19,9 @@ Feature parity map (reference → here):
 - eval every eval_interval (:591)                   → same
 - resume (:699-748)                                 → restore_state + meta
 - freeze schedules via requires_grad                → trainable-mask pytree from
-  module.before_train_loop, masking grads AND updates (optimizer moments for
-  frozen leaves keep decaying — documented divergence)
+  module.before_train_loop, masking grads, updates AND optimizer-state
+  deltas (frozen elements keep their adam moments exactly, matching torch's
+  skip-untracked-params semantics)
 """
 
 from __future__ import annotations
@@ -138,6 +139,34 @@ class Trainer:
         module = self.module
         tx = self.tx
         rng_names = tuple(module.rng_keys)
+        params_treedef = jax.tree_util.tree_structure(self.state.params)
+
+        def keep_frozen_opt_state(new_opt, old_opt, mask):
+            """Preserve optimizer moments for frozen (mask==0) elements.
+
+            torch's Adam never touches state for requires_grad=False params
+            (the reference's freeze schedules, LidModule_ASR.py:279-304);
+            without this, zeroed grads still decay mu/nu every step and a
+            long-frozen encoder resumes with stale second moments.  Any
+            opt-state subtree shaped like the params pytree (adam mu/nu,
+            MultiSteps grad accumulators, …) gets element-wise select; other
+            leaves (step counters) pass through.
+            """
+            is_params_like = (
+                lambda x: jax.tree_util.tree_structure(x) == params_treedef
+            )
+
+            def sel(new_sub, old_sub):
+                if is_params_like(new_sub):
+                    return jax.tree_util.tree_map(
+                        lambda n, o, m: (n * m + o * (1.0 - m)).astype(n.dtype),
+                        new_sub, old_sub, mask,
+                    )
+                return new_sub
+
+            return jax.tree_util.tree_map(
+                sel, new_opt, old_opt, is_leaf=is_params_like
+            )
 
         def train_step(state: TrainState, batch, mask):
             rng, step_rng = jax.random.split(state.rng)
@@ -157,6 +186,7 @@ class Trainer:
             grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
+            new_opt = keep_frozen_opt_state(new_opt, state.opt_state, mask)
             new_params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
             metrics["loss"] = loss

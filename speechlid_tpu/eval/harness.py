@@ -76,11 +76,16 @@ class EvalResult:
     n_utts: int
     avg_time_s: float
     lm_arbitrated: int
+    # ground-truth-target variants (the plain eer/cavg follow the reference
+    # and score against the model's own argmax, test.py:317-318)
+    eer_true: float = float("nan")
+    cavg_true: float = float("nan")
     records: List[Dict] = field(default_factory=list)
 
     def as_dict(self) -> Dict:
         return {
             "acc": self.acc, "eer": self.eer, "cavg": self.cavg,
+            "eer_true": self.eer_true, "cavg_true": self.cavg_true,
             "cer": self.cer, "n_utts": self.n_utts,
             "avg_time_s": self.avg_time_s,
             "lm_arbitrated": self.lm_arbitrated,
@@ -142,6 +147,8 @@ class LidEvaluator:
     ) -> EvalResult:
         eer = EER(num_class=self.task.n_lang)
         cavg = CAvg(num_class=self.task.n_lang)
+        eer_true = EER(num_class=self.task.n_lang)
+        cavg_true = CAvg(num_class=self.task.n_lang)
         err = CharErrorRate() if self.task.use_cer else WordErrorRate()
         correct = total = arbitrated = 0
         records: List[Dict] = []
@@ -179,6 +186,8 @@ class LidEvaluator:
             total += len(langs)
             eer.update(prob, pred)
             cavg.update(prob, pred)
+            eer_true.update(prob, langs)
+            cavg_true.update(prob, langs)
 
             # ASR error rate on the TRUE language's head
             if self.task.tokenizers:
@@ -211,6 +220,8 @@ class LidEvaluator:
             acc=correct / max(total, 1),
             eer=eer.compute() if total else float("nan"),
             cavg=cavg.compute() if total else float("nan"),
+            eer_true=eer_true.compute() if total else float("nan"),
+            cavg_true=cavg_true.compute() if total else float("nan"),
             cer=err.compute(),
             n_utts=total,
             avg_time_s=wall / max(total, 1),

@@ -86,6 +86,10 @@ class WavLMConfig:
     num_buckets: int = 320
     max_distance: int = 1280
     gru_rel_pos: bool = False
+    # compute dtype for matmuls/convs (params stay f32; norms + softmax are
+    # pinned f32 islands per the reference's Fp32LayerNorm/Fp32GroupNorm —
+    # modules.py:41-74 — which is also the stable TPU mixed-precision recipe)
+    dtype: Any = jnp.float32
 
     @property
     def conv_layers(self) -> List[Tuple[int, int, int]]:
@@ -117,7 +121,7 @@ class ConvFeatureExtractor(nn.Module):
         for i, (dim, k, stride) in enumerate(cfg.conv_layers):
             y = nn.Conv(
                 dim, (k,), strides=(stride,), padding="VALID",
-                use_bias=cfg.conv_bias, name=f"conv_{i}",
+                use_bias=cfg.conv_bias, name=f"conv_{i}", dtype=cfg.dtype,
             )(y)
             if cfg.extractor_mode == "layer_norm":
                 # fp32 LayerNorm over channels
@@ -162,6 +166,7 @@ class RelPosMultiheadAttention(nn.Module):
     num_buckets: int = 320
     max_distance: int = 1280
     gru_rel_pos: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -176,9 +181,9 @@ class RelPosMultiheadAttention(nn.Module):
         d = c // h
         scaling = d**-0.5
 
-        q = nn.Dense(c, name="q_proj")(x) * scaling
-        k = nn.Dense(c, name="k_proj")(x)
-        v = nn.Dense(c, name="v_proj")(x)
+        q = nn.Dense(c, name="q_proj", dtype=self.dtype)(x) * scaling
+        k = nn.Dense(c, name="k_proj", dtype=self.dtype)(x)
+        v = nn.Dense(c, name="v_proj", dtype=self.dtype)(x)
         q = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
@@ -206,7 +211,9 @@ class RelPosMultiheadAttention(nn.Module):
                 # gate computed from the PRE-projection input per head
                 # (modules.py:521-529)
                 query_layer = x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
-                grep = nn.Dense(8, name="grep_linear")(query_layer)
+                grep = nn.Dense(8, name="grep_linear", dtype=self.dtype)(
+                    query_layer
+                )
                 grep = grep.reshape(b, h, t, 2, 4).sum(-1)
                 gates = jax.nn.sigmoid(grep)  # (B,H,T,2)
                 gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]
@@ -217,7 +224,10 @@ class RelPosMultiheadAttention(nn.Module):
                 gate_a_1 = gate_a * (gate_b * grep_a - 1.0) + 2.0
                 attn_bias = gate_a_1 * attn_bias  # (B,H,T,1)*(B,H,T,T)
 
-        weights = jnp.einsum("bhid,bhjd->bhij", q, k)
+        # attention logits accumulate in f32 on the MXU (softmax island)
+        weights = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        )
         if attn_bias is not None:
             weights = weights + attn_bias
         if padding_mask is not None:
@@ -226,13 +236,11 @@ class RelPosMultiheadAttention(nn.Module):
                 jnp.finfo(jnp.float32).min,
                 weights,
             )
-        probs = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).astype(
-            x.dtype
-        )
+        probs = jax.nn.softmax(weights, axis=-1).astype(q.dtype)
         probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
         out = jnp.einsum("bhij,bhjd->bhid", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-        out = nn.Dense(c, name="out_proj")(out)
+        out = nn.Dense(c, name="out_proj", dtype=self.dtype)(out)
         return out, position_bias
 
 
@@ -240,10 +248,12 @@ def _ffn_act(cfg: WavLMConfig, y: jax.Array, dense_out: int, name: str):
     """fc1 + activation: gelu (default) or GLU_Linear with swish gate
     (reference modules.py GLU_Linear, used when activation_fn == 'glu')."""
     if cfg.activation_fn == "glu":
-        z = nn.Dense(2 * dense_out, name=name)(y)
+        z = nn.Dense(2 * dense_out, name=name, dtype=cfg.dtype)(y)
         a, g = jnp.split(z, 2, axis=-1)
         return a * (g * jax.nn.sigmoid(g))  # swish-gated GLU
-    return jax.nn.gelu(nn.Dense(dense_out, name=name)(y), approximate=False)
+    return jax.nn.gelu(
+        nn.Dense(dense_out, name=name, dtype=cfg.dtype)(y), approximate=False
+    )
 
 
 class WavLMEncoderLayer(nn.Module):
@@ -265,6 +275,7 @@ class WavLMEncoderLayer(nn.Module):
             num_buckets=cfg.num_buckets,
             max_distance=cfg.max_distance,
             gru_rel_pos=cfg.gru_rel_pos,
+            dtype=cfg.dtype,
             name="self_attn",
         )
         drop = lambda z: nn.Dropout(cfg.dropout, deterministic=deterministic)(z)
@@ -272,31 +283,34 @@ class WavLMEncoderLayer(nn.Module):
             cfg.activation_dropout, deterministic=deterministic
         )(z)
 
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5, name=name, dtype=jnp.float32
+        )
         residual = x
         if cfg.layer_norm_first:
-            y = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
+            y = ln("self_attn_layer_norm")(x)
             y, position_bias = attn(
                 y, padding_mask, position_bias, deterministic
             )
             x = residual + drop(y)
             residual = x
-            y = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
+            y = ln("final_layer_norm")(x)
             y = _ffn_act(cfg, y, cfg.encoder_ffn_embed_dim, "fc1")
             y = act_drop(y)
-            y = nn.Dense(cfg.encoder_embed_dim, name="fc2")(y)
+            y = nn.Dense(cfg.encoder_embed_dim, name="fc2", dtype=cfg.dtype)(y)
             x = residual + drop(y)
         else:
             y, position_bias = attn(
                 x, padding_mask, position_bias, deterministic
             )
             x = residual + drop(y)
-            x = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
+            x = ln("self_attn_layer_norm")(x)
             residual = x
             y = _ffn_act(cfg, x, cfg.encoder_ffn_embed_dim, "fc1")
             y = act_drop(y)
-            y = nn.Dense(cfg.encoder_embed_dim, name="fc2")(y)
+            y = nn.Dense(cfg.encoder_embed_dim, name="fc2", dtype=cfg.dtype)(y)
             x = residual + drop(y)
-            x = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
+            x = ln("final_layer_norm")(x)
         return x, position_bias
 
 
@@ -331,15 +345,15 @@ class _WeightNormConvPos(nn.Module):
         norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
         w = v / norm * gscale  # broadcast (c, c/g, k)
         # flax NWC kernel layout: (K, I/g, O)
-        kernel = jnp.transpose(w, (2, 1, 0))
+        kernel = jnp.transpose(w, (2, 1, 0)).astype(cfg.dtype)
         y = jax.lax.conv_general_dilated(
-            x,
+            x.astype(cfg.dtype),
             kernel,
             window_strides=(1,),
             padding=[(k // 2, k // 2)],
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=g,
-        ) + bias
+        ) + bias.astype(cfg.dtype)
         if k % 2 == 0:  # SamePad: drop trailing frame for even kernels
             y = y[:, :-1, :]
         return jax.nn.gelu(y, approximate=False)
@@ -451,7 +465,8 @@ class WavLM(nn.Module):
         embed = cfg.conv_layers[-1][0]
         if embed != cfg.encoder_embed_dim:
             features = nn.Dense(
-                cfg.encoder_embed_dim, name="post_extract_proj"
+                cfg.encoder_embed_dim, name="post_extract_proj",
+                dtype=cfg.dtype,
             )(features)
         features = nn.Dropout(
             cfg.dropout_input, deterministic=deterministic
@@ -472,7 +487,11 @@ class WavLM(nn.Module):
                 cfg.mask_prob, cfg.mask_length,
                 lengths=feat_len,
             )
-            x = jnp.where(spans[:, :, None], mask_emb[None, None, :], x)
+            x = jnp.where(
+                spans[:, :, None],
+                mask_emb[None, None, :].astype(x.dtype),
+                x,
+            )
         if mask and cfg.mask_channel_prob > 0:
             ch = compute_mask_spans(
                 self.make_rng("mask_channel"),
@@ -534,6 +553,7 @@ class WavLMModel(nn.Module):
     all layers.  Masking only when training (example.py:43)."""
 
     config: WavLMConfig
+    remat: bool = False
 
     def subsampled_lengths(self, lengths: jax.Array) -> jax.Array:
         return conv_out_lengths(lengths, self.config.conv_layers)
@@ -546,7 +566,7 @@ class WavLMModel(nn.Module):
         only_last: bool = True,
         deterministic: bool = True,
     ):
-        out = WavLM(self.config, name="wavlm")(
+        out = WavLM(self.config, remat=self.remat, name="wavlm")(
             x, lengths,
             mask=not deterministic,
             ret_layer_results=not only_last,

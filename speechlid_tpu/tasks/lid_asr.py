@@ -209,6 +209,12 @@ class LidASRTask(TaskModule):
         )
         self.eer = EER(num_class=self.n_lang)
         self.cavg = CAvg(num_class=self.n_lang)
+        # ground-truth-target variants: the reference scores EER/Cavg against
+        # the model's own argmax (LidModule_ASR.py:357-358), which is blind
+        # to systematic LID errors; these score against the true label so
+        # checkpoint selection can see them.
+        self.eer_true = EER(num_class=self.n_lang)
+        self.cavg_true = CAvg(num_class=self.n_lang)
         self.err_fn = CharErrorRate() if use_cer else WordErrorRate()
 
     # -------------------------------------------------------------- frontend
@@ -372,6 +378,8 @@ class LidASRTask(TaskModule):
             # argmax; accuracy uses the true label
             self.eer.update(prob, pred)
             self.cavg.update(prob, pred)
+            self.eer_true.update(prob, langs)
+            self.cavg_true.update(prob, langs)
             correct += int((pred == langs).sum())
             total += len(langs)
             # CER/WER via host decode with the right language's tokenizer
@@ -400,9 +408,17 @@ class LidASRTask(TaskModule):
             "val_wer": self.err_fn.compute(),
             "eer": self.eer.compute() if (total and multi) else float("nan"),
             "cavg": self.cavg.compute() if (total and multi) else float("nan"),
+            "eer_true": (
+                self.eer_true.compute() if (total and multi) else float("nan")
+            ),
+            "cavg_true": (
+                self.cavg_true.compute() if (total and multi) else float("nan")
+            ),
         }
         self.eer.reset()
         self.cavg.reset()
+        self.eer_true.reset()
+        self.cavg_true.reset()
         logging.info("val: %s", result)
         return result
 

@@ -95,6 +95,27 @@ class TestEER:
         scores = [0.9, 0.8, 0.2, 0.1]
         assert compute_eer(labels, scores) < 1e-9
 
+    def test_argmax_target_blind_to_systematic_errors(self):
+        """Why the rebuild adds eer_true/cavg_true next to the
+        reference-faithful argmax-target EER (LidModule_ASR.py:357-358):
+        a model that confidently mislabels every class-0 utterance as
+        class 1 scores a PERFECT argmax-target EER while the ground-truth
+        EER sees the systematic error."""
+        rng = np.random.RandomState(0)
+        eer_argmax = EER(num_class=2)
+        eer_true = EER(num_class=2)
+        for _ in range(16):
+            true = rng.randint(0, 2, 8)
+            # confident scores, but always for the WRONG class of label 0:
+            # label 0 → predicts 1, label 1 → predicts 1 (all mass on 1)
+            scores = np.zeros((8, 2)) + 0.05
+            scores[:, 1] = 0.95
+            pred = scores.argmax(-1)
+            eer_argmax.update(scores, pred)
+            eer_true.update(scores, true)
+        assert eer_argmax.compute() < 1e-9  # self-consistent → looks perfect
+        assert eer_true.compute() > 0.3  # ground truth sees the failure
+
 
 class TestCAvg:
     @pytest.mark.parametrize("seed", [0, 1, 2])

@@ -159,6 +159,54 @@ class TestTrainerFit:
             p0["Dense_1"]["kernel"], init_params["Dense_1"]["kernel"]
         )
 
+    def test_freeze_mask_preserves_optimizer_moments(self):
+        """Frozen leaves' adam mu/nu must be bit-identical across a frozen
+        epoch (torch skips state for requires_grad=False params; reference
+        freeze schedule LidModule_ASR.py:279-304)."""
+        data = _make_data(n=64)
+
+        class FrozenFirst(ToyTask):
+            def before_train_loop(self, epoch):
+                def mask_fn(path, leaf):
+                    frozen = "Dense_0" in "/".join(str(p) for p in path)
+                    return jnp.asarray(0.0 if frozen else 1.0)
+
+                return jax.tree_util.tree_map_with_path(
+                    mask_fn, self.trainer.state.params
+                )
+
+        task = FrozenFirst(lr=0.1)
+        tr = Trainer(total_epoch=0, use_progress_bar=False)
+        tr.trainer_prepare(task, data[0])
+        tr._mask = task.before_train_loop(0)
+        opt0 = jax.device_get(tr.state.opt_state)
+        for batch in data:
+            tr.state, _ = tr._train_step(tr.state, tr._place_batch(batch),
+                                         tr._mask)
+        opt1 = jax.device_get(tr.state.opt_state)
+
+        def leaves_named(opt, key):
+            flat, _ = jax.tree_util.tree_flatten_with_path(opt)
+            return {
+                "/".join(str(p) for p in path): leaf
+                for path, leaf in flat
+                if key in "/".join(str(p) for p in path)
+            }
+
+        frozen0 = leaves_named(opt0, "Dense_0")
+        frozen1 = leaves_named(opt1, "Dense_0")
+        assert frozen0, "expected Dense_0 leaves inside adam state"
+        for name, leaf in frozen0.items():
+            np.testing.assert_array_equal(
+                leaf, frozen1[name], err_msg=f"frozen moment changed: {name}"
+            )
+        # and the live leaves' moments DID move
+        live0 = leaves_named(opt0, "Dense_1")
+        live1 = leaves_named(opt1, "Dense_1")
+        assert any(
+            not np.allclose(live0[n], live1[n]) for n in live0
+        ), "live moments should update"
+
     def test_swa_average_tracked(self):
         data = _make_data(n=64)
         tr = Trainer(total_epoch=4, use_swa=True, swa_start_ratio=0.5,
