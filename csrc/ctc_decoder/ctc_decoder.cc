@@ -9,6 +9,15 @@
 //  - ArpaLM: ARPA text n-gram model with backoff (log10 domain), sentence
 //    scoring with <s>/</s> context and KenLM-style perplexity
 //    10^(-score/(nwords+1));
+//  - ProbingKenLM: read-only loader for KenLM *binary* models in the
+//    default "probing" format (magic "mmap lm ... format version 5"), so
+//    the reference's trained .bin/.klm artifacts load directly
+//    (lid/lm_decoder.py:23-62, lid/test.py:58-60).  Layout facts derived
+//    from the published format: murmur64a-hashed vocab probing table,
+//    (prob, backoff) unigram array, per-order middle probing tables keyed
+//    on a reversed word-id hash chain, float probs carrying an
+//    extend-left flag in the sign bit.  Parity vs the upstream query tool
+//    is pinned by tests/data/tiny_probing.klm golden scores;
 //  - Scorer: word-level fusion  alpha·log10 P(w|ctx) + beta  applied at
 //    word boundaries (space) and end-of-utterance, matching the
 //    OpenSeq2Seq/PaddlePaddle scorer the reference wraps
@@ -58,10 +67,44 @@ std::vector<std::string> split_ws(const std::string& s) {
 }
 
 // ---------------------------------------------------------------------------
-// ARPA n-gram LM
+// n-gram LM interface (ARPA text + KenLM probing binary backends)
 // ---------------------------------------------------------------------------
 
-class ArpaLM {
+class NgramModelBase {
+ public:
+  virtual ~NgramModelBase() = default;
+  virtual int order() const = 0;
+
+  // log10 P(w | context words), with backoff recursion.
+  virtual double WordScore(const std::vector<std::string>& context,
+                           const std::string& word) const = 0;
+
+  // total log10 prob of a sentence with <s> context and </s> end.
+  double SentenceScore(const std::string& sentence,
+                       bool add_sentence_markers = true) const {
+    std::vector<std::string> words = split_ws(sentence);
+    std::vector<std::string> ctx;
+    if (add_sentence_markers) ctx.push_back("<s>");
+    double total = 0.0;
+    for (const auto& w : words) {
+      total += WordScore(ctx, w);
+      ctx.push_back(w);
+    }
+    if (add_sentence_markers) total += WordScore(ctx, "</s>");
+    return total;
+  }
+
+  // KenLM Model.perplexity: 10^(-score / (len(words)+1))
+  double Perplexity(const std::string& sentence) const {
+    std::vector<std::string> words = split_ws(sentence);
+    double score = SentenceScore(sentence, true);
+    size_t denom = words.size() + 1;
+    if (denom == 0) denom = 1;
+    return std::pow(10.0, -score / static_cast<double>(denom));
+  }
+};
+
+class ArpaLM : public NgramModelBase {
  public:
   bool Load(const std::string& path) {
     std::ifstream f(path);
@@ -107,40 +150,15 @@ class ArpaLM {
     return max_order_ > 0;
   }
 
-  int order() const { return max_order_; }
+  int order() const override { return max_order_; }
 
-  // log10 P(w | context words), with backoff recursion.
   double WordScore(const std::vector<std::string>& context,
-                   const std::string& word) const {
+                   const std::string& word) const override {
     // use at most order-1 context words
     std::vector<std::string> ctx = context;
     int keep = std::min<int>(ctx.size(), max_order_ - 1);
     ctx.assign(ctx.end() - keep, ctx.end());
     return ScoreBackoff(ctx, word);
-  }
-
-  // total log10 prob of a sentence with <s> context and </s> end.
-  double SentenceScore(const std::string& sentence,
-                       bool add_sentence_markers = true) const {
-    std::vector<std::string> words = split_ws(sentence);
-    std::vector<std::string> ctx;
-    if (add_sentence_markers) ctx.push_back("<s>");
-    double total = 0.0;
-    for (const auto& w : words) {
-      total += WordScore(ctx, w);
-      ctx.push_back(w);
-    }
-    if (add_sentence_markers) total += WordScore(ctx, "</s>");
-    return total;
-  }
-
-  // KenLM Model.perplexity: 10^(-score / (len(words)+1))
-  double Perplexity(const std::string& sentence) const {
-    std::vector<std::string> words = split_ws(sentence);
-    double score = SentenceScore(sentence, true);
-    size_t denom = words.size() + 1;
-    if (denom == 0) denom = 1;
-    return std::pow(10.0, -score / static_cast<double>(denom));
   }
 
  private:
@@ -180,13 +198,270 @@ class ArpaLM {
 };
 
 // ---------------------------------------------------------------------------
+// KenLM binary (probing format) read-only model
+// ---------------------------------------------------------------------------
+
+// MurmurHash64A (Austin Appleby, public domain), seed 0 — the word hash of
+// the probing vocabulary on 64-bit hosts.
+uint64_t Murmur64A(const void* key, size_t len, uint64_t seed = 0) {
+  const uint64_t m = 0xc6a4a7935bd1e995ULL;
+  const int r = 47;
+  uint64_t h = seed ^ (len * m);
+  const unsigned char* data = static_cast<const unsigned char*>(key);
+  const unsigned char* end = data + (len & ~size_t(7));
+  while (data != end) {
+    uint64_t k;
+    std::memcpy(&k, data, 8);
+    data += 8;
+    k *= m;
+    k ^= k >> r;
+    k *= m;
+    h ^= k;
+    h *= m;
+  }
+  switch (len & 7) {
+    case 7: h ^= uint64_t(data[6]) << 48; [[fallthrough]];
+    case 6: h ^= uint64_t(data[5]) << 40; [[fallthrough]];
+    case 5: h ^= uint64_t(data[4]) << 32; [[fallthrough]];
+    case 4: h ^= uint64_t(data[3]) << 24; [[fallthrough]];
+    case 3: h ^= uint64_t(data[2]) << 16; [[fallthrough]];
+    case 2: h ^= uint64_t(data[1]) << 8; [[fallthrough]];
+    case 1: h ^= uint64_t(data[0]); h *= m;
+  }
+  h ^= h >> r;
+  h *= m;
+  h ^= h >> r;
+  return h;
+}
+
+// n-gram key: hash chain over word ids in REVERSE order (predicted word
+// first), per the probing search's CombineWordHash.
+inline uint64_t CombineWordHash(uint64_t current, uint32_t next) {
+  return (current * 8978948897894561157ULL) ^
+         (static_cast<uint64_t>(1 + next) * 17894857484156487943ULL);
+}
+
+// float log10-probs store an "extend left" flag in the sign bit; the true
+// value always has the sign bit SET (log-probs are <= 0).
+inline float ForceNegative(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, 4);
+  u |= 0x80000000u;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+class ProbingKenLM : public NgramModelBase {
+ public:
+  // Returns true on success; on a recognized-but-unsupported binary,
+  // fills `error` and returns false.
+  bool Load(const std::string& path, std::string* error) {
+    std::ifstream f(path, std::ios::binary);
+    if (!f.is_open()) return false;
+    data_.assign(std::istreambuf_iterator<char>(f),
+                 std::istreambuf_iterator<char>());
+    static const char kMagic[] =
+        "mmap lm http://kheafield.com/code format version 5\n";
+    const size_t magic_len = sizeof(kMagic) - 1;
+    if (data_.size() < 128 ||
+        std::memcmp(data_.data(), kMagic, magic_len) != 0)
+      return false;  // not a KenLM v5 binary — caller may try ARPA
+    // Header: Sanity (88 B: magic padded to 56, 3 floats, 3 uint32, 1
+    // uint64) then FixedWidthParameters then uint64 counts[order].
+    const size_t kSanity = 88, kFixed = 20;
+    unsigned char order = data_[kSanity];
+    float multiplier;
+    int32_t model_type;
+    std::memcpy(&multiplier, data_.data() + kSanity + 4, 4);
+    std::memcpy(&model_type, data_.data() + kSanity + 8, 4);
+    if (model_type != 0) {  // 0=PROBING; 1=REST_PROBING; 2..5 trie family
+      if (error)
+        *error = "unsupported KenLM binary type " +
+                 std::to_string(model_type) +
+                 " (only default 'probing' is supported; rebuild with "
+                 "build_binary probing, or use the text ARPA)";
+      return false;
+    }
+    order_ = order;
+    counts_.resize(order_);
+    std::memcpy(counts_.data(), data_.data() + kSanity + kFixed,
+                8 * order_);
+    size_t off = Align8(kSanity + kFixed + 8 * order_);
+
+    // vocabulary: 8-byte header {version, bound} + probing table of
+    // {uint64 hash, uint32 word_id} packed to 12 bytes
+    off += 8;
+    vocab_buckets_ = Buckets(counts_[0], multiplier);
+    vocab_ = data_.data() + off;
+    off += vocab_buckets_ * 12;
+
+    // unigrams: (counts[0]+1) × {float prob, float backoff}
+    unigram_ = data_.data() + off;
+    off += (counts_[0] + 1) * 8;
+
+    // middle orders 2..order-1: probing tables of {uint64, prob, backoff}
+    for (int n = 2; n < order_; ++n) {
+      uint64_t b = Buckets(counts_[n - 1], multiplier);
+      middle_.push_back({data_.data() + off, b});
+      off += b * 16;
+    }
+    // longest order: {uint64, prob} packed to 12 bytes
+    longest_buckets_ = Buckets(counts_[order_ - 1], multiplier);
+    longest_ = data_.data() + off;
+    off += longest_buckets_ * 12;
+    if (off > data_.size()) {
+      if (error) *error = "KenLM binary truncated";
+      return false;
+    }
+    return true;
+  }
+
+  int order() const override { return order_; }
+
+  double WordScore(const std::vector<std::string>& context,
+                   const std::string& word) const override {
+    std::vector<uint32_t> ctx;
+    size_t keep =
+        std::min(context.size(), static_cast<size_t>(order_ - 1));
+    for (size_t i = context.size() - keep; i < context.size(); ++i)
+      ctx.push_back(WordId(context[i]));
+    return ScoreBackoff(ctx, WordId(word));
+  }
+
+ private:
+  static size_t Align8(size_t x) { return (x + 7) / 8 * 8; }
+
+  static uint64_t Buckets(uint64_t entries, float multiplier) {
+    uint64_t by_mult = static_cast<uint64_t>(
+        multiplier * static_cast<float>(entries));
+    return std::max(entries + 1, by_mult);
+  }
+
+  uint32_t WordId(const std::string& w) const {
+    uint64_t h = Murmur64A(w.data(), w.size());
+    uint64_t idx = h % vocab_buckets_;
+    for (;;) {
+      const char* e = vocab_ + idx * 12;
+      uint64_t key;
+      std::memcpy(&key, e, 8);
+      if (key == h) {
+        uint32_t id;
+        std::memcpy(&id, e + 8, 4);
+        return id;
+      }
+      if (key == 0) return 0;  // <unk>
+      idx = (idx + 1) % vocab_buckets_;
+    }
+  }
+
+  // n-gram (ids in natural order) → probing key
+  static uint64_t KeyFor(const uint32_t* ids, size_t n) {
+    uint64_t key = ids[n - 1];
+    for (size_t i = n - 1; i-- > 0;) key = CombineWordHash(key, ids[i]);
+    return key;
+  }
+
+  bool FindMiddle(size_t n, uint64_t key, float* prob,
+                  float* backoff) const {
+    const auto& t = middle_[n - 2];
+    uint64_t idx = key % t.buckets;
+    for (;;) {
+      const char* e = t.base + idx * 16;
+      uint64_t k;
+      std::memcpy(&k, e, 8);
+      if (k == key) {
+        std::memcpy(prob, e + 8, 4);
+        std::memcpy(backoff, e + 12, 4);
+        *prob = ForceNegative(*prob);
+        return true;
+      }
+      if (k == 0) return false;
+      idx = (idx + 1) % t.buckets;
+    }
+  }
+
+  bool FindLongest(uint64_t key, float* prob) const {
+    uint64_t idx = key % longest_buckets_;
+    for (;;) {
+      const char* e = longest_ + idx * 12;
+      uint64_t k;
+      std::memcpy(&k, e, 8);
+      if (k == key) {
+        std::memcpy(prob, e + 8, 4);
+        return true;  // longest entries always carry the sign bit already
+      }
+      if (k == 0) return false;
+      idx = (idx + 1) % longest_buckets_;
+    }
+  }
+
+  void Unigram(uint32_t id, float* prob, float* backoff) const {
+    const char* e = unigram_ + static_cast<size_t>(id) * 8;
+    std::memcpy(prob, e, 4);
+    std::memcpy(backoff, e + 4, 4);
+    *prob = ForceNegative(*prob);
+  }
+
+  // backoff weight of the context n-gram (0 when absent)
+  double BackoffOf(const std::vector<uint32_t>& ctx, size_t start) const {
+    size_t n = ctx.size() - start;
+    float prob, backoff;
+    if (n == 1) {
+      Unigram(ctx[start], &prob, &backoff);
+      return backoff;
+    }
+    if (FindMiddle(n, KeyFor(ctx.data() + start, n), &prob, &backoff))
+      return backoff;
+    return 0.0;
+  }
+
+  double ScoreBackoff(std::vector<uint32_t> ctx, uint32_t wid) const {
+    double total = 0.0;
+    size_t start = 0;
+    for (;;) {
+      size_t n = ctx.size() - start + 1;
+      float prob, backoff;
+      bool found;
+      if (n == 1) {
+        Unigram(wid, &prob, &backoff);
+        return total + prob;
+      }
+      std::vector<uint32_t> gram(ctx.begin() + start, ctx.end());
+      gram.push_back(wid);
+      if (n == static_cast<size_t>(order_))
+        found = FindLongest(KeyFor(gram.data(), n), &prob);
+      else
+        found = FindMiddle(n, KeyFor(gram.data(), n), &prob, &backoff);
+      if (found) return total + prob;
+      total += BackoffOf(ctx, start);
+      ++start;  // shorten context from the far end
+    }
+  }
+
+  struct Table {
+    const char* base;
+    uint64_t buckets;
+  };
+
+  std::vector<char> data_;
+  int order_ = 0;
+  std::vector<uint64_t> counts_;
+  const char* vocab_ = nullptr;
+  uint64_t vocab_buckets_ = 0;
+  const char* unigram_ = nullptr;
+  std::vector<Table> middle_;
+  const char* longest_ = nullptr;
+  uint64_t longest_buckets_ = 0;
+};
+
+// ---------------------------------------------------------------------------
 // Scorer (word-level LM fusion, OpenSeq2Seq semantics)
 // ---------------------------------------------------------------------------
 
 struct Scorer {
   double alpha = 0.0;
   double beta = 0.0;
-  std::shared_ptr<ArpaLM> lm;
+  std::shared_ptr<NgramModelBase> lm;
 
   // score of the last word of `prefix_words` given the preceding ones
   double WordBonus(const std::vector<std::string>& words) const {
@@ -348,7 +623,22 @@ std::vector<std::pair<std::string, double>> DecodeOne(
 
 extern "C" {
 
+namespace {
+std::string g_ngram_error;  // last load failure detail (main thread only)
+}
+
 void* ngram_load(const char* path) {
+  g_ngram_error.clear();
+  // binary first (magic sniff inside); fall back to text ARPA
+  {
+    auto bin = std::make_unique<ProbingKenLM>();
+    std::string err;
+    if (bin->Load(path, &err)) return bin.release();
+    if (!err.empty()) {  // recognized binary but unsupported/corrupt
+      g_ngram_error = err;
+      return nullptr;
+    }
+  }
   auto* lm = new ArpaLM();
   if (!lm->Load(path)) {
     delete lm;
@@ -357,25 +647,28 @@ void* ngram_load(const char* path) {
   return lm;
 }
 
-void ngram_free(void* lm) { delete static_cast<ArpaLM*>(lm); }
+const char* ngram_last_error() { return g_ngram_error.c_str(); }
+
+void ngram_free(void* lm) { delete static_cast<NgramModelBase*>(lm); }
 
 double ngram_sentence_score(void* lm, const char* sentence) {
-  return static_cast<ArpaLM*>(lm)->SentenceScore(sentence);
+  return static_cast<NgramModelBase*>(lm)->SentenceScore(sentence);
 }
 
 double ngram_perplexity(void* lm, const char* sentence) {
-  return static_cast<ArpaLM*>(lm)->Perplexity(sentence);
+  return static_cast<NgramModelBase*>(lm)->Perplexity(sentence);
 }
 
-int ngram_order(void* lm) { return static_cast<ArpaLM*>(lm)->order(); }
+int ngram_order(void* lm) { return static_cast<NgramModelBase*>(lm)->order(); }
 
 void* scorer_create(double alpha, double beta, void* lm) {
   auto* s = new Scorer();
   s->alpha = alpha;
   s->beta = beta;
   if (lm)
-    s->lm = std::shared_ptr<ArpaLM>(static_cast<ArpaLM*>(lm),
-                                    [](ArpaLM*) {});  // non-owning
+    s->lm = std::shared_ptr<NgramModelBase>(
+        static_cast<NgramModelBase*>(lm),
+        [](NgramModelBase*) {});  // non-owning
   return s;
 }
 

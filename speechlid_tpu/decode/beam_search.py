@@ -61,6 +61,8 @@ def _load_lib():
     lib.ngram_perplexity.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ngram_order.restype = ctypes.c_int
     lib.ngram_order.argtypes = [ctypes.c_void_p]
+    lib.ngram_last_error.restype = ctypes.c_char_p
+    lib.ngram_last_error.argtypes = []
     lib.scorer_create.restype = ctypes.c_void_p
     lib.scorer_create.argtypes = [
         ctypes.c_double, ctypes.c_double, ctypes.c_void_p
@@ -83,8 +85,15 @@ def _load_lib():
 
 
 class NgramLM:
-    """ARPA n-gram language model (KenLM Model API subset:
-    ``score``/``perplexity``)."""
+    """n-gram language model (KenLM Model API subset:
+    ``score``/``perplexity``).
+
+    Accepts either a text ARPA file or a **KenLM binary** model in the
+    default 'probing' format (``.bin``/``.klm`` built by ``build_binary``)
+    — the artifacts the reference loads via ``kenlm.Model``
+    (lid/lm_decoder.py:23-62, lid/test.py:58-60).  Trie-format binaries
+    are rejected with an explanatory error.
+    """
 
     def __init__(self, arpa_path: str):
         lib = _load_lib()
@@ -93,7 +102,11 @@ class NgramLM:
         self._lib = lib
         self._handle = lib.ngram_load(arpa_path.encode())
         if not self._handle:
-            raise FileNotFoundError(f"failed to load ARPA LM: {arpa_path}")
+            detail = (lib.ngram_last_error() or b"").decode()
+            raise FileNotFoundError(
+                f"failed to load LM (ARPA text or KenLM probing binary): "
+                f"{arpa_path}" + (f" — {detail}" if detail else "")
+            )
 
     @property
     def order(self) -> int:

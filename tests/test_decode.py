@@ -90,6 +90,66 @@ class TestNgram:
             NgramLM("/tmp/definitely_not_here.arpa")
 
 
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+class TestKenlmBinary:
+    """KenLM binary (probing) loader vs goldens from the upstream kenlm
+    ``query`` tool run on tests/data/tiny_probing.klm (built from
+    tests/data/tiny.arpa with upstream ``build_binary probing``)."""
+
+    # sentence → total log10 score as printed by `query -v sentence`
+    GOLDEN = {
+        "the cat sat": -1.26,
+        "the dog ran": -1.3599999,
+        "cat the": -2.98,
+        "zebra": -2.3000002,  # OOV → <unk>
+    }
+
+    def test_matches_upstream_query_tool(self, lib_built):
+        lm = NgramLM(os.path.join(DATA, "tiny_probing.klm"))
+        assert lm.order == 3
+        for sent, want in self.GOLDEN.items():
+            assert abs(lm.score(sent) - want) < 1e-4, sent
+
+    def test_binary_matches_arpa(self, lib_built):
+        """Same model through both backends must agree everywhere,
+        including backoff chains and OOV paths."""
+        bin_lm = NgramLM(os.path.join(DATA, "tiny_probing.klm"))
+        arpa_lm = NgramLM(os.path.join(DATA, "tiny.arpa"))
+        sents = [
+            "the cat sat", "the dog ran", "cat the", "zebra",
+            "the the the", "sat ran cat dog", "dog", "",
+            "the cat sat the dog ran",
+        ]
+        for s in sents:
+            assert abs(bin_lm.score(s) - arpa_lm.score(s)) < 1e-4, s
+            assert abs(
+                bin_lm.perplexity(s) - arpa_lm.perplexity(s)
+            ) < 1e-3 * max(1.0, arpa_lm.perplexity(s)), s
+
+    def test_trie_binary_rejected_with_message(self, lib_built):
+        with pytest.raises(FileNotFoundError, match="probing"):
+            NgramLM(os.path.join(DATA, "tiny_trie.klm"))
+
+    def test_beam_search_with_binary_lm(self, lib_built):
+        """LM-fused beam decode accepts the binary model (the reference's
+        Scorer path, lid/lm_decoder.py:23-62)."""
+        vocab = [" ", "a", "b", "c"]
+        V = len(vocab) + 1
+        rng = np.random.RandomState(0)
+        logits = rng.randn(2, 12, V).astype(np.float32)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        lengths = np.asarray([12, 9], np.int32)
+        dec = BeamSearchDecoderWithLM(
+            vocab, beam_width=16, alpha=0.5, beta=0.3,
+            lm_path=os.path.join(DATA, "tiny_probing.klm"),
+        )
+        out = dec.forward(probs, lengths)
+        assert len(out) == 2 and all(isinstance(s, str) for s in out)
+
+
 class TestBeamSearch:
     VOCAB = [" ", "a", "b", "c"]  # blank = 4 (last)
 

@@ -133,6 +133,22 @@ class TestEvaluator:
         res = ev.evaluate(feeder_factory())
         assert res.lm_arbitrated == res.n_utts
 
+    def test_lm_arbitration_with_kenlm_binary(self, setup):
+        """Arbitration end-to-end with a KenLM *binary* probing model —
+        the reference's actual LM artifact format (lid/test.py:58-60)."""
+        from speechlid_tpu.decode import NgramLM, build_native_library
+
+        if build_native_library() is None:
+            pytest.skip("native lib unavailable")
+        klm = os.path.join(os.path.dirname(__file__), "data",
+                           "tiny_probing.klm")
+        task, variables, feeder_factory, bank = setup
+        lms = {l: NgramLM(klm) for l in task.lang2index}
+        ev = LidEvaluator(task, variables, lms=lms, kenlm_threshold=1.0,
+                          noise_bank=bank)
+        res = ev.evaluate(feeder_factory())
+        assert res.lm_arbitrated == res.n_utts
+
     def test_enhance_hook_called(self, setup):
         task, variables, feeder_factory, bank = setup
         calls = []
