@@ -1,15 +1,27 @@
-"""Benchmark: 3 s-clip LID inference throughput per chip.
+"""Benchmark: 3 s-clip LID inference throughput per chip on the FLAGSHIP.
 
 Driver-facing: prints ONE JSON line
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}``.
 
-Metric (BASELINE.json): utterances/sec/chip on 3 s clips through the
-flagship joint LID model (frontend → Conformer encoder → ALL language heads
-→ confidence scores, i.e. the reference's full ``LidModule.infer`` with
-``lang=None``).  The reference publishes no number (SURVEY.md §6) and its
-torch stack can't run in this image, so ``vs_baseline`` is measured against
-this machine's CPU running the SAME compiled graph — the closest available
-"CPU reference" per BASELINE.md's measure-don't-copy policy.
+Headline metric (BASELINE.json): utterances/sec/chip on 3 s clips through
+the WavLM joint LID model — WavLM-Base+ 12×768 encoder with gated relative
+position bias feeding 3 per-language ConformerLinear heads + the language
+discriminator, i.e. the reference's full ``LidModule.infer`` with
+``lang=None`` (lid/WavLMMutiLangModel.py:224-257, lid/wavlm/WavLM.py:161).
+
+Honesty notes:
+- Methodology: DISTINCT host-generated inputs per iteration and a
+  ``block_until_ready`` after EVERY step — the tunneled bench device dedups
+  repeated identical computations, so anything weaker measures a cache.
+- ``mfu`` = analytic matmul FLOPs/utt × utt/s ÷ assumed chip peak
+  (v5e: 197 TFLOPS bf16; f32 ≈ 99 TFLOPS assumed half rate).  A calibration
+  GEMM is reported so inflated-environment numbers are visible: this
+  tunneled device has measured far above physical v5e peak on raw matmuls,
+  so treat absolute utt/s as environment-specific and MFU/calibration as
+  the cross-check.
+- ``vs_baseline`` is accel-vs-this-host-CPU running the SAME compiled
+  graph (the reference's torch stack cannot run in this image; measured,
+  not copied — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -19,14 +31,155 @@ import time
 
 import numpy as np
 
+V5E_PEAK_TFLOPS = {"bf16": 197.0, "f32": 99.0}  # assumed; printed in JSON
 
-def _bench_on(device_kind: str, batch: int = 128, iters: int = 20):
-    """Conservative methodology: DISTINCT inputs per iteration and a
-    block_until_ready after EVERY step (no pipelining credit, no chance of
-    result reuse).  Note: the tunneled bench device reports implausibly
-    high raw matmul throughput (>1.5 PFLOPS on a calibration GEMM), so
-    absolute numbers reflect that environment; the methodology here is the
-    honest-measurement side of the equation."""
+
+# ---------------------------------------------------------------------------
+# analytic FLOPs (matmul terms only — standard MFU accounting)
+# ---------------------------------------------------------------------------
+
+
+def wavlm_flagship_flops_per_utt(t_samples: int = 48000, n_lang: int = 3):
+    """Forward-pass matmul FLOPs for one 3 s utterance through the
+    WavLM-Base+ joint model (conv extractor + 12-layer encoder + 3
+    ConformerLinear heads + discriminator)."""
+    fl = 0.0
+    # conv extractor: [(512,10,5)] + [(512,3,2)]*4 + [(512,2,2)]*2
+    t = t_samples
+    cin = 1
+    for (c, k, s) in [(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2:
+        t = (t - k) // s + 1
+        fl += 2.0 * cin * c * k * t
+        cin = c
+    tp = t  # encoder frames (≈149 for 3 s)
+    d, ffn, heads = 768, 3072, 12
+    fl += 2.0 * 512 * d * tp  # post_extract_proj
+    fl += 2.0 * (d // 16) * d * 128 * tp  # grouped conv positional embedding
+    per_layer = (
+        4 * 2.0 * d * d * tp  # q/k/v/out projections
+        + 2 * 2.0 * d * tp * tp  # qk^T and att·v
+        + 2 * 2.0 * d * ffn * tp  # fc1 + fc2
+    )
+    fl += heads * 0 + 12 * per_layer
+    # 3 ConformerLinear heads: 1 ConformerBlock(dim=768, ff_mult=4,
+    # conv_expansion=2, dim_head=32, num_head=8) + Dense(V+1)
+    inner = 32 * 8
+    block = (
+        2 * 2.0 * d * (4 * d) * tp * 2  # two ½-FFNs (768→3072→768 each)
+        + 2.0 * d * inner * tp  # to_q
+        + 2.0 * d * 2 * inner * tp  # to_kv
+        + 2 * 2.0 * inner * tp * tp  # scores + weighted sum
+        + 2.0 * inner * d * tp  # to_out
+        + 2.0 * d * (2 * 2 * d) * tp  # conv module pointwise-in (GLU)
+        + 2.0 * 31 * 2 * d * tp  # depthwise conv k=31
+        + 2.0 * (2 * d) * d * tp  # conv module pointwise-out
+    )
+    vmax = 96
+    fl += n_lang * (block + 2.0 * d * (vmax + 1) * tp)
+    return fl
+
+
+def conformer_flagship_flops_per_utt(t_samples: int = 48000, n_lang: int = 3):
+    """Matmul FLOPs for the small Conformer joint model (14×144-d encoder,
+    4× subsample) — the secondary metric."""
+    frames = 1 + t_samples // 160
+    tp = ((frames - 1) // 2 - 1) // 2  # 4× conv2d subsample
+    d, inner = 144, 64 * 4
+    fl = 2.0 * (80 // 4) * d * 9 * tp * 8  # rough conv2d subsample stack
+    per_block = (
+        2 * 2.0 * d * (4 * d) * tp * 2
+        + 2.0 * d * inner * tp + 2.0 * d * 2 * inner * tp
+        + 2 * 2.0 * inner * tp * tp + 2.0 * inner * d * tp
+        + 2.0 * d * (2 * 2 * d) * tp + 2.0 * 31 * 2 * d * tp
+        + 2.0 * (2 * d) * d * tp
+    )
+    fl += 14 * per_block
+    head_inner = 32 * 8
+    head_block = (
+        2 * 2.0 * d * (4 * d) * tp * 2
+        + 2.0 * d * head_inner * tp + 2.0 * d * 2 * head_inner * tp
+        + 2 * 2.0 * head_inner * tp * tp + 2.0 * head_inner * d * tp
+        + 2.0 * d * (2 * 2 * d) * tp + 2.0 * 31 * 2 * d * tp
+        + 2.0 * (2 * d) * d * tp
+    )
+    fl += n_lang * (head_block + 2.0 * d * 97 * tp)
+    return fl
+
+
+# ---------------------------------------------------------------------------
+# measurement
+# ---------------------------------------------------------------------------
+
+
+def _device(kind: str):
+    import jax
+
+    try:
+        devs = jax.devices(kind)
+    except RuntimeError:
+        devs = [d for d in jax.devices() if d.platform == kind]
+    return devs[0] if devs else None
+
+
+def _throughput(fn, make_input, batch: int, iters: int) -> float:
+    """utt/s with distinct inputs per iteration, blocking every step."""
+    import jax
+
+    jax.block_until_ready(fn(make_input(0)))  # compile
+    inputs = [make_input(i + 1) for i in range(iters)]
+    jax.block_until_ready(inputs)
+    t0 = time.perf_counter()
+    for w in inputs:
+        jax.block_until_ready(fn(w))
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def bench_model(model_fn, device, dtype_name: str, batch: int, iters: int):
+    """→ (utt/s, mfu) for a flagship builder on one device."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechlid_tpu.models.multilang import MutiLangModel
+
+    model, flops_utt = model_fn(dtype_name)
+    t = 48000
+    rng = np.random.RandomState(0)
+    with jax.default_device(device):
+        lengths = jnp.full((batch,), t, jnp.int32)
+        key = jax.random.PRNGKey(0)
+        w0 = jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
+        variables = model.init(
+            {"params": key, "dropout": key, "stochastic_depth": key},
+            w0, lengths, method=MutiLangModel.infer,
+        )
+
+        @jax.jit
+        def infer(wavs):
+            out = model.apply(
+                variables, wavs, lengths, method=MutiLangModel.infer
+            )
+            return out["scores"], out["pred_lang"]
+
+        def make_input(i):
+            return jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
+
+        utt_s = _throughput(infer, make_input, batch, iters)
+    peak = V5E_PEAK_TFLOPS.get(dtype_name, V5E_PEAK_TFLOPS["f32"]) * 1e12
+    mfu = flops_utt * utt_s / peak
+    return utt_s, mfu
+
+
+def _wavlm_builder(dtype_name: str):
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_wavlm
+
+    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model = _flagship_wavlm(n_lang=3, dtype=dt)
+    return model, wavlm_flagship_flops_per_utt()
+
+
+def bench_conformer(device, batch: int, iters: int):
     import jax
     import jax.numpy as jnp
 
@@ -34,151 +187,192 @@ def _bench_on(device_kind: str, batch: int = 128, iters: int = 20):
     from speechlid_tpu.models.multilang import MutiLangModel
     from speechlid_tpu.ops.frontend import frame_lengths, normalize_wav, wav2mel
 
-    try:
-        dev = jax.devices(device_kind)
-    except RuntimeError:
-        dev = [d for d in jax.devices() if d.platform == device_kind]
-    if not dev:
-        return None
-    device = dev[0]
-
     model = _flagship(n_lang=3)
-    t = 48000  # 3 s @ 16 kHz
+    t = 48000
     rng = np.random.RandomState(0)
-    lengths_h = np.full((batch,), t, np.int32)
-
     with jax.default_device(device):
-        lengths = jnp.asarray(lengths_h)
-        wavs0 = jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
-        mel = jnp.transpose(
-            wav2mel(normalize_wav(wavs0, lengths), lengths=lengths), (0, 2, 1)
+        lengths = jnp.full((batch,), t, jnp.int32)
+        key = jax.random.PRNGKey(0)
+        w0 = jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
+        mel0 = jnp.transpose(
+            wav2mel(normalize_wav(w0, lengths), lengths=lengths), (0, 2, 1)
         )
         f_len = frame_lengths(lengths, 160)
-        key = jax.random.PRNGKey(0)
         variables = model.init(
             {"params": key, "dropout": key, "stochastic_depth": key},
-            mel, f_len, method=MutiLangModel.infer,
+            mel0, f_len, method=MutiLangModel.infer,
         )
 
         @jax.jit
-        def infer(variables, wavs, lengths):
+        def infer(wavs):
             mel = jnp.transpose(
                 wav2mel(normalize_wav(wavs, lengths), lengths=lengths),
                 (0, 2, 1),
             )
-            f_len = frame_lengths(lengths, 160)
             out = model.apply(
-                variables, mel, f_len, method=MutiLangModel.infer
+                variables, mel, frame_lengths(lengths, 160),
+                method=MutiLangModel.infer,
             )
             return out["scores"], out["pred_lang"]
 
-        inputs = [
-            jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
-            for _ in range(iters)
-        ]
-        jax.block_until_ready(infer(variables, inputs[0], lengths))
+        def make_input(i):
+            return jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
+
+        utt_s = _throughput(infer, make_input, batch, iters)
+    flops = conformer_flagship_flops_per_utt()
+    mfu = flops * utt_s / (V5E_PEAK_TFLOPS["f32"] * 1e12)
+    return utt_s, mfu
+
+
+def calibration_gemm(device, dtype_name: str, n: int = 4096, iters: int = 8):
+    """Measured TFLOPS on a bare n×n×n matmul with distinct inputs —
+    exposes how far this environment sits from physical v5e peak."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    rng = np.random.RandomState(0)
+    with jax.default_device(device):
+        b = jnp.asarray(rng.randn(n, n).astype(np.float32)).astype(dt)
+
+        @jax.jit
+        def mm(a):
+            return a @ b
+
+        def make_input(i):
+            return jnp.asarray(rng.randn(n, n).astype(np.float32)).astype(dt)
+
+        jax.block_until_ready(mm(make_input(0)))
+        inputs = [make_input(i) for i in range(iters)]
+        jax.block_until_ready(inputs)
         t0 = time.perf_counter()
-        for w in inputs:
-            jax.block_until_ready(infer(variables, w, lengths))
-        dt = time.perf_counter() - t0
-    return batch * iters / dt
+        for a in inputs:
+            jax.block_until_ready(mm(a))
+        dt_s = (time.perf_counter() - t0) / iters
+    return 2.0 * n**3 / dt_s / 1e12
+
+
+def frontend_rtf_and_latency(device):
+    """Frontend RTF (batched, production Pallas path on TPU) and p50
+    single-utterance end-to-end WavLM LID latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_wavlm
+    from speechlid_tpu.models.multilang import MutiLangModel
+    from speechlid_tpu.ops.frontend import fused_frontend, resolve_method
+
+    rng = np.random.RandomState(0)
+    with jax.default_device(device):
+        lengths = jnp.full((32,), 48000, jnp.int32)
+        fe = jax.jit(lambda w: fused_frontend(w, lengths)[0])
+
+        def make_input(i):
+            return jnp.asarray(rng.randn(32, 48000).astype(np.float32) * 0.1)
+
+        sps = _throughput(fe, make_input, 32, 20)  # utt/s
+        rtf = 1.0 / (sps * 3.0)
+
+        model = _flagship_wavlm(n_lang=3)
+        l1 = jnp.asarray([48000], jnp.int32)
+        key = jax.random.PRNGKey(0)
+        w1 = jnp.asarray(rng.randn(1, 48000).astype(np.float32) * 0.1)
+        variables = model.init(
+            {"params": key, "dropout": key}, w1, l1,
+            method=MutiLangModel.infer,
+        )
+
+        @jax.jit
+        def infer_one(w):
+            return model.apply(
+                variables, w, l1, method=MutiLangModel.infer
+            )["pred_lang"]
+
+        jax.block_until_ready(infer_one(w1))
+        lat = []
+        for i in range(20):
+            w = jnp.asarray(rng.randn(1, 48000).astype(np.float32) * 0.1)
+            jax.block_until_ready(w)
+            t0 = time.perf_counter()
+            jax.block_until_ready(infer_one(w))
+            lat.append(time.perf_counter() - t0)
+        p50 = float(np.median(lat) * 1e3)
+    return round(float(rtf), 8), round(p50, 3), resolve_method("auto")
 
 
 def main() -> None:
     import jax
 
     platforms = {d.platform for d in jax.devices()}
-    accel = next(
+    accel_kind = next(
         (p for p in ("tpu", "axon", "gpu") if p in platforms), "cpu"
     )
-    utt_s = _bench_on(accel)
-    # CPU reference point: same graph, fewer iters (CPU is slow)
+    accel = _device(accel_kind)
+
+    wavlm = {}
+    for dtype_name in ("f32", "bf16"):
+        try:
+            utt_s, mfu = bench_model(
+                _wavlm_builder, accel, dtype_name, batch=64, iters=8
+            )
+            wavlm[dtype_name] = {
+                "utt_s": round(utt_s, 1), "mfu": round(mfu, 4)
+            }
+        except Exception as e:  # pragma: no cover - report, don't die
+            wavlm[dtype_name] = {"error": str(e)[:200]}
+
+    best = max(
+        (v["utt_s"] for v in wavlm.values() if "utt_s" in v), default=None
+    )
+
+    # CPU reference: same graph, same methodology, tiny batch (slow)
     cpu_utt_s = None
     try:
-        import jax as _j
-
-        cpu_devs = [d for d in _j.devices("cpu")]
-        if cpu_devs:
-            cpu_utt_s = _bench_on("cpu", batch=8, iters=3)
+        cpu = _device("cpu")
+        if cpu is not None and accel_kind != "cpu":
+            cpu_utt_s, _ = bench_model(
+                _wavlm_builder, cpu, "f32", batch=4, iters=2
+            )
     except Exception:
         pass
-    vs_baseline = (utt_s / cpu_utt_s) if (utt_s and cpu_utt_s) else None
-    rtf, p50_ms = _frontend_rtf_and_latency(accel)
-    print(
-        json.dumps(
-            {
-                "metric": "3s-clip LID utterances/sec/chip (conformer joint infer, all heads)",
-                "value": round(utt_s, 2) if utt_s else None,
-                "unit": "utt/s/chip",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-                "feature_extraction_rtf": rtf,
-                "p50_latency_ms_single_utt": p50_ms,
-            }
-        )
-    )
 
-
-def _frontend_rtf_and_latency(device_kind: str):
-    """BASELINE.json auxiliary metrics: batched feature-extraction real-time
-    factor and p50 single-utterance end-to-end infer latency."""
-    import jax
-    import jax.numpy as jnp
-
-    from __graft_entry__ import _flagship
-    from speechlid_tpu.models.multilang import MutiLangModel
-    from speechlid_tpu.ops.frontend import (
-        frame_lengths, mel_spectrogram, normalize_wav, wav2mel,
-    )
-
+    conf_utt_s = conf_mfu = None
     try:
-        dev = jax.devices(device_kind)
-    except RuntimeError:
-        dev = [d for d in jax.devices() if d.platform == device_kind]
-    if not dev:
-        return None, None
-    rng = np.random.RandomState(0)
-    with jax.default_device(dev[0]):
-        # frontend RTF on a 32×3 s batch
-        wav = jnp.asarray(rng.randn(32, 48000).astype(np.float32) * 0.1)
-        fe = jax.jit(lambda w: mel_spectrogram(w))
-        jax.block_until_ready(fe(wav))
-        t0 = time.perf_counter()
-        for _ in range(50):
-            out = fe(wav)
-        jax.block_until_ready(out)
-        rtf = (time.perf_counter() - t0) / 50 / (32 * 3.0)
+        conf_utt_s, conf_mfu = bench_conformer(accel, batch=128, iters=8)
+    except Exception:
+        pass
 
-        # p50 latency: single 3 s utterance through full LID infer
-        model = _flagship(n_lang=3)
-        w1 = jnp.asarray(rng.randn(1, 48000).astype(np.float32) * 0.1)
-        l1 = jnp.asarray([48000], jnp.int32)
-        key = jax.random.PRNGKey(0)
-        mel = jnp.transpose(wav2mel(normalize_wav(w1, l1), lengths=l1), (0, 2, 1))
-        f1 = frame_lengths(l1, 160)
-        variables = model.init(
-            {"params": key, "dropout": key, "stochastic_depth": key},
-            mel, f1, method=MutiLangModel.infer,
-        )
+    calib = {}
+    for dtype_name in ("f32", "bf16"):
+        try:
+            calib[dtype_name] = round(calibration_gemm(accel, dtype_name), 1)
+        except Exception:
+            calib[dtype_name] = None
 
-        @jax.jit
-        def infer_one(variables, w, l):
-            mel = jnp.transpose(
-                wav2mel(normalize_wav(w, l), lengths=l), (0, 2, 1)
-            )
-            out = model.apply(
-                variables, mel, frame_lengths(l, 160),
-                method=MutiLangModel.infer,
-            )
-            return out["pred_lang"]
+    rtf = p50 = frontend_kind = None
+    try:
+        rtf, p50, frontend_kind = frontend_rtf_and_latency(accel)
+    except Exception:
+        pass
 
-        jax.block_until_ready(infer_one(variables, w1, l1))
-        lat = []
-        for _ in range(30):
-            t0 = time.perf_counter()
-            jax.block_until_ready(infer_one(variables, w1, l1))
-            lat.append(time.perf_counter() - t0)
-        p50 = float(np.median(lat) * 1e3)
-    return round(float(rtf), 8), round(p50, 3)
+    out = {
+        "metric": "3s-clip LID utterances/sec/chip (WavLM-Base+ joint infer, all heads)",
+        "value": best,
+        "unit": "utt/s/chip",
+        "vs_baseline": (
+            round(best / cpu_utt_s, 2) if best and cpu_utt_s else None
+        ),
+        "wavlm": wavlm,
+        "flops_per_utt_gflop": round(wavlm_flagship_flops_per_utt() / 1e9, 2),
+        "chip_peak_tflops_assumed": V5E_PEAK_TFLOPS,
+        "calibration_gemm_tflops": calib,
+        "cpu_reference_utt_s": round(cpu_utt_s, 2) if cpu_utt_s else None,
+        "conformer_utt_s": round(conf_utt_s, 1) if conf_utt_s else None,
+        "feature_extraction_rtf": rtf,
+        "frontend": frontend_kind,
+        "p50_latency_ms_single_utt": p50,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from speechlid_tpu.ops import frontend as F
-from speechlid_tpu.ops.specaugment import spec_augment
 
 Dtype = Any
 
@@ -333,8 +332,10 @@ class ConformerModel(nn.Module):
 
 
 class FBankLayer(nn.Module):
-    """In-model feature layer: wav → dB-mel (+ SpecAugment when training)
-    (reference FBank, conformer.py:262-325).  Returns (B, T, n_mels)."""
+    """In-model feature layer: wav → dB-mel (+ TimeStretch/SpecAugment when
+    training) (reference FBank, conformer.py:262-325 + spectrogram_augment,
+    audio_processor.py:198-228).  Returns ((B, T, n_mels), frame lengths) —
+    lengths are returned because TimeStretch rescales them."""
 
     sample_rate: int = 16000
     win_len: float = 0.025
@@ -343,6 +344,7 @@ class FBankLayer(nn.Module):
     t_mask_prob: float = 0.05
     f_mask: int = 27
     mask_times: int = 2
+    t_stretch: bool = False
 
     @nn.compact
     def __call__(
@@ -350,27 +352,23 @@ class FBankLayer(nn.Module):
         wav: jax.Array,  # (B, T)
         lengths: Optional[jax.Array] = None,
         deterministic: bool = True,
-    ) -> jax.Array:
-        mel = F.wav2mel(
-            wav,
+    ):
+        key = (
+            self.make_rng("specaug")
+            if not deterministic and (self.mask_times > 0 or self.t_stretch)
+            else None
+        )
+        feats, f_len = F.fused_frontend(
+            wav, lengths,
+            key=key,
             sample_rate=self.sample_rate,
+            n_mels=self.n_mels,
             win_length=self.win_len,
             hop_length=self.hop_length,
-            n_mels=self.n_mels,
-            lengths=lengths,
-        )  # (B, n_mels, F)
-        if not deterministic and self.mask_times > 0:
-            f_len = (
-                None if lengths is None
-                else F.frame_lengths(lengths, int(self.sample_rate * self.hop_length))
-            )
-            mel = spec_augment(
-                self.make_rng("specaug"),
-                mel,
-                time_mask_ratio=self.t_mask_prob,
-                freq_mask_param=self.f_mask,
-                n_time_masks=self.mask_times,
-                n_freq_masks=self.mask_times,
-                lengths=f_len,
-            )
-        return jnp.transpose(mel, (0, 2, 1))  # (B, F, n_mels)
+            normalize=False,  # reference FBank gets pre-normalized wavs
+            t_stretch=self.t_stretch,
+            mask_times=self.mask_times,
+            t_mask_ratio=self.t_mask_prob,
+            f_mask=self.f_mask,
+        )
+        return feats, f_len

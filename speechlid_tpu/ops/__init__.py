@@ -13,8 +13,10 @@ from speechlid_tpu.ops.frontend import (
     frame_lengths,
     kaldi_fbank,
     mel_filterbank,
+    fused_frontend,
     log_mel_spectrogram,
     mel_spectrogram,
+    resolve_method,
     normalize_wav,
     preemphasis,
     wav2mel,

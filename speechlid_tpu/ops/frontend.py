@@ -284,6 +284,20 @@ def amplitude_to_db(
     return x_db
 
 
+def resolve_method(method: str = "auto") -> str:
+    """'auto' → the fused Pallas kernel on real TPUs, the XLA dft_conv
+    formulation elsewhere.  ``SPEECHLID_FRONTEND=dft_conv|fft|pallas``
+    overrides (kill-switch for the Pallas path)."""
+    import os
+
+    forced = os.environ.get("SPEECHLID_FRONTEND")
+    if forced:
+        return forced
+    if method != "auto":
+        return method
+    return "pallas" if jax.default_backend() == "tpu" else "dft_conv"
+
+
 def wav2mel(
     wav: jax.Array,
     sample_rate: int = 16000,
@@ -293,10 +307,18 @@ def wav2mel(
     n_mels: int = 80,
     n_fft: int = 512,
     lengths: Optional[jax.Array] = None,
-    method: str = "dft_conv",
+    method: str = "auto",
 ) -> jax.Array:
     """Reference ``wav2mel`` entry (lid/audio_processor.py:8-37): dB mel
-    spectrogram or kaldi fbank, (B, T) → (B, n_mels, F)."""
+    spectrogram or kaldi fbank, (B, T) → (B, n_mels, F).
+
+    The production TPU path (method='auto') runs the fused Pallas kernel
+    (ops/pallas/fbank_kernel.py: window∘DFT∘|·|²∘mel∘log in one
+    VMEM-resident kernel); CPU and explicit overrides use the XLA
+    dft_conv/fft formulations.  All paths are parity-tested against
+    torchaudio goldens (tests/test_frontend.py, tests/test_pallas_fbank.py).
+    """
+    method = resolve_method(method)
     if use_kaldi:
         feats = kaldi_fbank(
             wav,
@@ -304,17 +326,93 @@ def wav2mel(
             frame_length_ms=win_length * 1000.0,
             frame_shift_ms=hop_length * 1000.0,
             n_mels=n_mels,
-            method=method,
+            method="dft_conv" if method == "pallas" else method,
         )
         return jnp.transpose(feats, (0, 2, 1))
     win = int(sample_rate * win_length)
     hop = int(sample_rate * hop_length)
+    f_len = None if lengths is None else frame_lengths(lengths, hop, center=True)
+    if method == "pallas":
+        # lazy import: fbank_kernel imports this module for the shared bases
+        from speechlid_tpu.ops.pallas.fbank_kernel import pallas_log_mel
+
+        mel_db = pallas_log_mel(
+            wav, sample_rate=sample_rate, n_fft=n_fft, win_length=win,
+            hop_length=hop, n_mels=n_mels,
+        )
+        # same top_db clamp as amplitude_to_db (kernel emits unclamped dB)
+        if f_len is not None:
+            t = jnp.arange(mel_db.shape[-1])
+            valid = t[None, None, :] < f_len[:, None, None]
+            peak = jnp.max(jnp.where(valid, mel_db, -jnp.inf), axis=(-2, -1),
+                           keepdims=True)
+        else:
+            peak = jnp.max(mel_db, axis=(-2, -1), keepdims=True)
+        return jnp.maximum(mel_db, peak - 80.0)
     mel = mel_spectrogram(
         wav, sample_rate, n_fft=n_fft, win_length=win, hop_length=hop,
         n_mels=n_mels, method=method,
     )
-    f_len = None if lengths is None else frame_lengths(lengths, hop, center=True)
     return amplitude_to_db(mel, top_db=80.0, lengths=f_len)
+
+
+def fused_frontend(
+    wav: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    *,
+    key: Optional[jax.Array] = None,  # None → eval (no augmentation)
+    sample_rate: int = 16000,
+    n_mels: int = 80,
+    win_length: float = 0.025,
+    hop_length: float = 0.01,
+    use_kaldi: bool = False,
+    normalize: bool = True,
+    t_stretch: bool = False,
+    stretch_rates: Tuple[float, ...] = (0.9, 1.0, 1.1),
+    mask_times: int = 0,
+    t_mask_ratio: float = 0.05,
+    f_mask: int = 27,
+    method: str = "auto",
+):
+    """The full production frontend in one jittable call:
+    normalize → mel (Pallas on TPU) → [TimeStretch] → [SpecAugment] →
+    transpose.  Returns ((B, F, n_mels) features, frame lengths).
+
+    Mirrors the reference per-utterance CPU pipeline
+    (lid/audio_processor.py wav2mel + spectrogram_augment) as one batched
+    device graph; augmentations apply only when ``key`` is given.
+    """
+    from speechlid_tpu.ops.specaugment import random_time_stretch, spec_augment
+
+    if normalize:
+        wav = normalize_wav(wav, lengths)
+    mel = wav2mel(
+        wav, sample_rate=sample_rate, use_kaldi=use_kaldi,
+        win_length=win_length, hop_length=hop_length, n_mels=n_mels,
+        lengths=lengths, method=method,
+    )  # (B, n_mels, F)
+    hop = int(sample_rate * hop_length)
+    f_len = (
+        None if lengths is None
+        else frame_lengths(lengths, hop, center=not use_kaldi,
+                           win_length=int(sample_rate * win_length))
+    )
+    if key is not None and t_stretch:
+        k_stretch, key = jax.random.split(key)
+        mel, new_len = random_time_stretch(
+            k_stretch, mel, hop, rates=stretch_rates, lengths=f_len
+        )
+        f_len = new_len if new_len is not None else f_len
+    if key is not None and mask_times > 0:
+        mel = spec_augment(
+            key, mel,
+            time_mask_ratio=t_mask_ratio,
+            freq_mask_param=f_mask,
+            n_time_masks=mask_times,
+            n_freq_masks=mask_times,
+            lengths=f_len,
+        )
+    return jnp.transpose(mel, (0, 2, 1)), f_len
 
 
 def log_mel_spectrogram(*args, **kwargs) -> jax.Array:

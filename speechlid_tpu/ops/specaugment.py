@@ -73,6 +73,47 @@ def spec_augment(
     return jnp.where(keep, spec, mask_value)
 
 
+def random_time_stretch(
+    key: jax.Array,
+    spec: jax.Array,  # (B, n_freq, T)
+    hop_length: int,
+    rates: tuple = (0.9, 1.0, 1.1),
+    lengths: Optional[jax.Array] = None,
+):
+    """Training-time TimeStretch over a static rate set (the reference draws
+    ``random.choice([0.9, 1.0, 1.1])``, lid/audio_processor.py:220-222).
+
+    TPU-first: one rate per *batch* drawn from the traced PRNG, dispatched
+    with ``lax.switch`` over per-rate branches — every branch crops/pads to
+    the input width T so all shapes stay static (vs the reference's
+    per-utterance dynamic widths, which XLA cannot compile).  Returns
+    (stretched (B, n_freq, T), new frame lengths).
+    """
+    t = spec.shape[-1]
+    n_freq = spec.shape[1]
+
+    def make_branch(rate):
+        def fn(s):
+            out = phase_vocoder(s, rate, hop_length, n_freq)
+            w = out.shape[-1]
+            if w >= t:
+                return out[..., :t]
+            return jnp.pad(out, [(0, 0), (0, 0), (0, t - w)])
+
+        return fn
+
+    idx = jax.random.randint(key, (), 0, len(rates))
+    out = jax.lax.switch(idx, [make_branch(r) for r in rates], spec)
+    new_lengths = None
+    if lengths is not None:
+        rate = jnp.asarray(rates)[idx]
+        new_lengths = jnp.minimum(
+            jnp.ceil(lengths.astype(jnp.float32) / rate).astype(lengths.dtype),
+            t,
+        )
+    return out, new_lengths
+
+
 def phase_vocoder(
     spec: jax.Array, rate: float, hop_length: int, n_freq: int
 ) -> jax.Array:

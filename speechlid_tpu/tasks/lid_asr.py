@@ -36,8 +36,12 @@ from speechlid_tpu.models.multilang import (
     lang_confidence_scores,
 )
 from speechlid_tpu.ops.ctc import ctc_loss
-from speechlid_tpu.ops.frontend import frame_lengths, normalize_wav, wav2mel
-from speechlid_tpu.ops.specaugment import spec_augment
+from speechlid_tpu.ops.frontend import (
+    frame_lengths,
+    fused_frontend,
+    normalize_wav,
+    wav2mel,
+)
 
 
 def normalize_scores(scores: np.ndarray) -> np.ndarray:
@@ -84,6 +88,7 @@ class LidASRTask(TaskModule):
         t_mask_ratio: float = 0.05,
         f_mask: int = 27,
         mask_times: int = 2,
+        t_stretch: bool = False,
         # optim
         lr: float = 1e-3,
         optimizer: str = "adam",
@@ -113,7 +118,8 @@ class LidASRTask(TaskModule):
             head_num_head=head_num_head, double_swish=double_swish,
             dropout=dropout, use_cer=use_cer, sample_rate=sample_rate,
             n_mels=n_mels, t_mask_ratio=t_mask_ratio, f_mask=f_mask,
-            mask_times=mask_times, lr=lr, optimizer=optimizer,
+            mask_times=mask_times, t_stretch=t_stretch, lr=lr,
+            optimizer=optimizer,
             schedule=schedule, schedule_conf=schedule_conf,
             clip_norm=clip_norm,
             freeze_featurizer_epoch=freeze_featurizer_epoch,
@@ -136,6 +142,7 @@ class LidASRTask(TaskModule):
         self.t_mask_ratio = t_mask_ratio
         self.f_mask = f_mask
         self.mask_times = mask_times
+        self.t_stretch = t_stretch
         self.lr = lr
         self.optimizer = optimizer
         self.schedule = schedule
@@ -226,22 +233,16 @@ class LidASRTask(TaskModule):
         return normalize_wav(wavs, wav_lengths), wav_lengths
 
     def _features(self, wavs, wav_lengths, rngs=None):
-        x = normalize_wav(wavs, wav_lengths)
-        mel = wav2mel(
-            x, sample_rate=self.sample_rate, n_mels=self.n_mels,
-            lengths=wav_lengths,
-        )  # (B, n_mels, F)
-        f_len = frame_lengths(wav_lengths, self.hop)
-        if rngs is not None and self.mask_times > 0:
-            mel = spec_augment(
-                rngs["specaug"], mel,
-                time_mask_ratio=self.t_mask_ratio,
-                freq_mask_param=self.f_mask,
-                n_time_masks=self.mask_times,
-                n_freq_masks=self.mask_times,
-                lengths=f_len,
-            )
-        return jnp.transpose(mel, (0, 2, 1)), f_len  # (B, F, n_mels)
+        return fused_frontend(
+            wavs, wav_lengths,
+            key=rngs["specaug"] if rngs is not None else None,
+            sample_rate=self.sample_rate,
+            n_mels=self.n_mels,
+            t_stretch=self.t_stretch,
+            mask_times=self.mask_times,
+            t_mask_ratio=self.t_mask_ratio,
+            f_mask=self.f_mask,
+        )  # ((B, F, n_mels), frame lengths)
 
     # ----------------------------------------------------------------- setup
     def init_variables(self, rng, sample_batch):

@@ -20,8 +20,12 @@ from speechlid_tpu.core.module import TaskModule
 from speechlid_tpu.core.optim import make_optimizer
 from speechlid_tpu.metrics import Accuracy, CAvg, EER
 from speechlid_tpu.models.classifier import LidClassifier
-from speechlid_tpu.ops.frontend import frame_lengths, normalize_wav, wav2mel
-from speechlid_tpu.ops.specaugment import spec_augment
+from speechlid_tpu.ops.frontend import (
+    frame_lengths,
+    fused_frontend,
+    normalize_wav,
+    wav2mel,
+)
 
 
 class LidCrossEntropyTask(TaskModule):
@@ -43,6 +47,7 @@ class LidCrossEntropyTask(TaskModule):
         mask_times: int = 2,
         t_mask_ratio: float = 0.05,
         f_mask: int = 27,
+        t_stretch: bool = False,
         lr: float = 1e-3,
         optimizer: str = "adam",
         schedule: Optional[str] = None,
@@ -57,7 +62,8 @@ class LidCrossEntropyTask(TaskModule):
             ssl_config=ssl_config, freeze_upstream=freeze_upstream,
             sample_rate=sample_rate,
             n_mels=n_mels, mask_times=mask_times, t_mask_ratio=t_mask_ratio,
-            f_mask=f_mask, lr=lr, optimizer=optimizer, schedule=schedule,
+            f_mask=f_mask, t_stretch=t_stretch, lr=lr, optimizer=optimizer,
+            schedule=schedule,
             schedule_conf=schedule_conf, clip_norm=clip_norm,
         )
         self.num_classes = num_classes
@@ -67,6 +73,7 @@ class LidCrossEntropyTask(TaskModule):
         self.mask_times = mask_times
         self.t_mask_ratio = t_mask_ratio
         self.f_mask = f_mask
+        self.t_stretch = t_stretch
         self.lr = lr
         self.optimizer = optimizer
         self.schedule = schedule
@@ -124,22 +131,16 @@ class LidCrossEntropyTask(TaskModule):
         self.acc = Accuracy()
 
     def _features(self, wavs, wav_lengths, rngs=None):
-        x = normalize_wav(wavs, wav_lengths)
-        mel = wav2mel(
-            x, sample_rate=self.sample_rate, n_mels=self.n_mels,
-            lengths=wav_lengths,
+        return fused_frontend(
+            wavs, wav_lengths,
+            key=rngs["specaug"] if rngs is not None else None,
+            sample_rate=self.sample_rate,
+            n_mels=self.n_mels,
+            t_stretch=self.t_stretch,
+            mask_times=self.mask_times,
+            t_mask_ratio=self.t_mask_ratio,
+            f_mask=self.f_mask,
         )
-        f_len = frame_lengths(wav_lengths, self.hop)
-        if rngs is not None and self.mask_times > 0:
-            mel = spec_augment(
-                rngs["specaug"], mel,
-                time_mask_ratio=self.t_mask_ratio,
-                freq_mask_param=self.f_mask,
-                n_time_masks=self.mask_times,
-                n_freq_masks=self.mask_times,
-                lengths=f_len,
-            )
-        return jnp.transpose(mel, (0, 2, 1)), f_len
 
     def _model_inputs(self, wavs, wav_lengths, rngs=None):
         if self.featurizer_kind == "fbank":

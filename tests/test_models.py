@@ -98,12 +98,35 @@ class TestConformer:
         m = FBankLayer()
         wav = jnp.asarray(np.random.RandomState(0).randn(2, 16000), jnp.float32)
         params = m.init(_keys(), wav)
-        feats = m.apply(params, wav)
+        feats, f_len = m.apply(params, wav)
         assert feats.shape == (2, 101, 80)
+        assert f_len is None  # no lengths given
         # training mode applies specaug → some zeros
-        feats_tr = m.apply(params, wav, deterministic=False,
-                           rngs={"specaug": jax.random.PRNGKey(1)})
+        feats_tr, _ = m.apply(params, wav, deterministic=False,
+                              rngs={"specaug": jax.random.PRNGKey(1)})
         assert (np.asarray(feats_tr) == 0).any()
+
+    def test_fbank_layer_time_stretch(self):
+        """t_stretch=True rescales frame lengths by the drawn rate and keeps
+        static shapes (reference TimeStretch, audio_processor.py:220-222)."""
+        m = FBankLayer(t_stretch=True, mask_times=0)
+        wav = jnp.asarray(np.random.RandomState(0).randn(2, 16000), jnp.float32)
+        lengths = jnp.asarray([16000, 12000], jnp.int32)
+        params = m.init(_keys(), wav, lengths)
+        feats, f_len = m.apply(params, wav, lengths)
+        assert feats.shape == (2, 101, 80)
+        np.testing.assert_array_equal(np.asarray(f_len), [101, 76])
+        seen = set()
+        for i in range(8):
+            feats_tr, f_tr = m.apply(
+                params, wav, lengths, deterministic=False,
+                rngs={"specaug": jax.random.PRNGKey(i)},
+            )
+            assert feats_tr.shape == (2, 101, 80)  # static width
+            seen.add(int(np.asarray(f_tr)[0]))
+        # rates {0.9, 1.0, 1.1} → lengths {ceil(101/.9)→101 (clipped),
+        # 101, ceil(101/1.1)=92}; at least two distinct outcomes in 8 draws
+        assert len(seen) >= 2 and min(seen) <= 92
 
 
 class TestPooling:

@@ -49,3 +49,22 @@ class TestPallasFbank:
         )
         ref = np.asarray(frontend.wav2mel(jnp.asarray(wav), lengths=lengths))
         np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+    def test_production_wav2mel_pallas_method(self, monkeypatch):
+        """wav2mel(method='pallas') — the production TPU path — matches the
+        XLA formulation (interpret mode on CPU); SPEECHLID_FRONTEND
+        overrides the auto-selection."""
+        wav = jnp.asarray(_wav(b=2, t=16000, seed=5))
+        lengths = jnp.asarray([16000, 12345])
+        got = np.asarray(
+            frontend.wav2mel(wav, lengths=lengths, method="pallas")
+        )
+        ref = np.asarray(
+            frontend.wav2mel(wav, lengths=lengths, method="dft_conv")
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+        # auto on CPU → dft_conv; env var forces any method
+        assert frontend.resolve_method("auto") == "dft_conv"
+        monkeypatch.setenv("SPEECHLID_FRONTEND", "pallas")
+        assert frontend.resolve_method("auto") == "pallas"
+        assert frontend.resolve_method("dft_conv") == "pallas"
