@@ -8,6 +8,8 @@
 - multilang: per-language CTC heads as stacked experts + LangDiscriminator
   (reference lid/WavLMMutiLangModel.py, lid/Wav2vecMutiLangModel.py)
 - wavlm / wav2vec2: SSL upstream encoders with torch ckpt converters
+- se / fasnet / seldnet: enhancement zoo (reference se/models/ — DPRNN
+  masker, FaSNet-TAC beamformer, SELDNet SED+DOA)
 """
 
 from speechlid_tpu.models.conformer import (
@@ -16,4 +18,11 @@ from speechlid_tpu.models.conformer import (
     Conv1dSubSampling2,
     Conv2dSubsampling,
     FBankLayer,
+)
+from speechlid_tpu.models.fasnet import FaSNetTAC
+from speechlid_tpu.models.se import DPRNNEnhancer, si_snr
+from speechlid_tpu.models.seldnet import (
+    SELDNet,
+    seldnet_augmented,
+    seldnet_vanilla,
 )

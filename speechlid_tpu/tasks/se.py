@@ -13,6 +13,7 @@ import numpy as np
 
 from speechlid_tpu.core.module import TaskModule
 from speechlid_tpu.core.optim import make_optimizer
+from speechlid_tpu.models.fasnet import FaSNetTAC
 from speechlid_tpu.models.se import DPRNNEnhancer, si_snr
 
 
@@ -21,21 +22,43 @@ class SETask(TaskModule):
 
     def __init__(self, enc_dim: int = 64, win: int = 16, chunk: int = 100,
                  n_blocks: int = 2, hidden: int = 64,
+                 model_type: str = "dprnn",  # dprnn | fasnet_tac
                  loss_type: str = "si_snr", lr: float = 1e-3,
                  optimizer: str = "adam", **kw: Any):
         super().__init__()
         self.save_hyper_parameters(
             enc_dim=enc_dim, win=win, chunk=chunk, n_blocks=n_blocks,
-            hidden=hidden, loss_type=loss_type, lr=lr, optimizer=optimizer,
+            hidden=hidden, model_type=model_type, loss_type=loss_type,
+            lr=lr, optimizer=optimizer,
         )
         self.lr = lr
         self.optimizer = optimizer
         self.loss_type = loss_type
-        self.model = DPRNNEnhancer(enc_dim=enc_dim, win=win, chunk=chunk,
-                                   n_blocks=n_blocks, hidden=hidden)
+        self.model_type = model_type
+        if model_type == "fasnet_tac":
+            self.model = FaSNetTAC(
+                enc_dim=enc_dim, feature_dim=enc_dim, hidden_dim=hidden,
+                n_layers=n_blocks, segment_size=chunk, nspk=1,
+            )
+        else:
+            self.model = DPRNNEnhancer(enc_dim=enc_dim, win=win, chunk=chunk,
+                                       n_blocks=n_blocks, hidden=hidden)
+
+    def _apply(self, variables, noisy, rngs=None):
+        """Run the chosen model; FaSNet consumes (B, nmic, T) — a 2-D
+        single-channel batch gains/loses the mic/speaker axes here so the
+        task contract stays (B, T) → (B, T) for both models."""
+        if self.model_type == "fasnet_tac":
+            if noisy.ndim == 2:
+                noisy = noisy[:, None, :]
+            return self.model.apply(variables, noisy, rngs=rngs)[:, 0]
+        return self.model.apply(variables, noisy, rngs=rngs)
 
     def init_variables(self, rng, batch):
-        return self.model.init({"params": rng}, jnp.asarray(batch["noisy"][:1]))
+        noisy = jnp.asarray(batch["noisy"][:1])
+        if self.model_type == "fasnet_tac" and noisy.ndim == 2:
+            noisy = noisy[:, None, :]
+        return self.model.init({"params": rng}, noisy)
 
     def config_optim(self):
         return make_optimizer(self.optimizer, lr=self.lr, clip_norm=5.0)
@@ -46,12 +69,12 @@ class SETask(TaskModule):
         return -jnp.mean(si_snr(est, clean))
 
     def train_loop(self, variables, batch, rngs):
-        est = self.model.apply(variables, batch["noisy"], rngs=rngs)
+        est = self._apply(variables, batch["noisy"], rngs=rngs)
         loss = self._loss(est, batch["clean"])
         return loss, {"si_snr": jnp.mean(si_snr(est, batch["clean"]))}, {}
 
     def val_loop(self, variables, batch):
-        est = self.model.apply(variables, batch["noisy"])
+        est = self._apply(variables, batch["noisy"])
         return {
             "loss": self._loss(est, batch["clean"]),
             "si_snr": jnp.mean(si_snr(est, batch["clean"])),
@@ -72,7 +95,7 @@ class SETask(TaskModule):
             dev = jax.devices(device)[0]
         except RuntimeError:
             dev = jax.devices()[0]
-        apply = jax.jit(lambda w: self.model.apply(variables, w))
+        apply = jax.jit(lambda w: self._apply(variables, w))
 
         def enhance(wav: np.ndarray) -> np.ndarray:
             with jax.default_device(dev):
