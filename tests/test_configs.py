@@ -37,7 +37,9 @@ def test_recipe_inventory_covers_reference_ladder():
     names = set(RECIPES)
     for expect in [
         "asr", "lid_cross", "lid_supervised", "lid_wavlm",
-        "lid_wavlm_extra", "lid_wav2vec", "lid_wav2vec_extra", "sweep_lid",
+        "lid_wavlm_extra", "lid_wav2vec", "lid_wav2vec_extra",
+        "lid_cross_wavlm", "lid_cross_wav2vec", "lid_extra_finetune",
+        "sweep_lid",
     ]:
         assert expect in names, f"missing recipe {expect}"
 
