@@ -90,6 +90,7 @@ def make_task(toks, lang2index, lang2vocab):
         n_blocks=4, encoder_dim=96, heads=4, dim_head=24,
         sub_sampling=4, head_dim_head=16, head_num_head=4,
         lr=2e-3, schedule=None, mask_times=1,
+        remat=True,  # stable axon config for fused train graphs
     )
 
 

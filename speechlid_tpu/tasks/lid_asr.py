@@ -95,6 +95,9 @@ class LidASRTask(TaskModule):
         schedule: Optional[str] = "tristage",
         schedule_conf: Optional[Dict] = None,
         clip_norm: float = 20.0,
+        # rematerialize encoder blocks in the backward pass (stable axon
+        # config; ~30% activation-memory saving)
+        remat: bool = False,
         # compute dtype: 'bfloat16' puts activations/matmuls on the MXU's
         # native precision (the AMP analog — SURVEY.md §2.5 row 'AMP');
         # params and softmax/layernorm accumulations stay f32
@@ -124,7 +127,7 @@ class LidASRTask(TaskModule):
             clip_norm=clip_norm,
             freeze_featurizer_epoch=freeze_featurizer_epoch,
             freeze_transformer_epoch=freeze_transformer_epoch,
-            keep_train_lang=keep_train_lang, dtype=dtype,
+            keep_train_lang=keep_train_lang, dtype=dtype, remat=remat,
         )
         self.lang2vocab = lang2vocab
         self.lang2index = lang2index
@@ -162,7 +165,7 @@ class LidASRTask(TaskModule):
             feat_module = ConformerModel(
                 n_blocks=n_blocks, n_mels=n_mels, encoder_dim=encoder_dim,
                 heads=heads, dim_head=dim_head, sub_sampling=sub_sampling,
-                use_double_swish=double_swish, dtype=self.dtype,
+                use_double_swish=double_swish, remat=remat, dtype=self.dtype,
             )
         elif featurizer in ("wavlm", "wav2vec2"):
             from speechlid_tpu.models.wav2vec2 import (
@@ -196,7 +199,8 @@ class LidASRTask(TaskModule):
             # mask_prob / mask_channel_prob (reference overrides them at
             # lid/wavlm/example.py:26-28)
             feat_module = SSLFeaturizerModel(
-                config=ssl_cfg, feature_selection=feature_selection
+                config=ssl_cfg, feature_selection=feature_selection,
+                remat=remat,
             )
             encoder_dim = ssl_cfg.encoder_embed_dim
             linear_dim = encoder_dim

@@ -196,3 +196,28 @@ class TestResNet:
         apply = jax.jit(lambda p, x: m.apply(p, x))
         ea, eb = apply(params, x)
         assert eb.shape == (1, 64)
+
+
+class TestConformerRemat:
+    def test_remat_parity_fwd_and_grad(self):
+        """remat=True must be numerically identical (it only changes the
+        backward-pass schedule) — the stable axon-TPU train config."""
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 50, 80).astype(np.float32))
+        lengths = jnp.asarray([50, 30], jnp.int32)
+        m0 = ConformerModel(n_blocks=2, encoder_dim=32, heads=2,
+                            dim_head=16, sub_sampling=4)
+        m1 = ConformerModel(n_blocks=2, encoder_dim=32, heads=2,
+                            dim_head=16, sub_sampling=4, remat=True)
+        params = m0.init(_keys(), x, lengths)
+        np.testing.assert_allclose(
+            np.asarray(m0.apply(params, x, lengths)),
+            np.asarray(m1.apply(params, x, lengths)),
+            rtol=1e-6, atol=1e-6,
+        )
+        g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, x, lengths) ** 2))(params)
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x, lengths) ** 2))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
