@@ -27,6 +27,7 @@ Honesty notes:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -300,61 +301,124 @@ def frontend_rtf_and_latency(device):
     return round(float(rtf), 8), round(p50, 3), resolve_method("auto")
 
 
-def main() -> None:
+# ---------------------------------------------------------------------------
+# orchestration: every measurement runs in an ISOLATED SUBPROCESS
+# ---------------------------------------------------------------------------
+#
+# The axon worker can fault on specific fused graphs (bf16 especially —
+# verify SKILL.md); a fault inside one in-process measurement used to poison
+# every later one.  The parent below never touches the device: it launches
+# ``bench.py --stage <name>`` children (each prints one JSON line), probes
+# chip recovery after any failure, and orders risky stages (bf16) LAST.
+
+
+def _accel():
     import jax
 
     platforms = {d.platform for d in jax.devices()}
-    accel_kind = next(
-        (p for p in ("tpu", "axon", "gpu") if p in platforms), "cpu"
-    )
-    accel = _device(accel_kind)
+    kind = next((p for p in ("tpu", "axon", "gpu") if p in platforms), "cpu")
+    return _device(kind)
 
-    wavlm = {}
-    for dtype_name in ("f32", "bf16"):
-        try:
-            utt_s, mfu = bench_model(
-                _wavlm_builder, accel, dtype_name, batch=64, iters=8
-            )
-            wavlm[dtype_name] = {
-                "utt_s": round(utt_s, 1), "mfu": round(mfu, 4)
-            }
-        except Exception as e:  # pragma: no cover - report, don't die
-            wavlm[dtype_name] = {"error": str(e)[:200]}
 
+def run_stage(stage: str) -> dict:
+    if stage == "probe":
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((64, 64), jnp.float32)
+        jax.block_until_ready(x @ x)
+        return {"ok": True}
+    if stage == "wavlm_f32" or stage == "wavlm_bf16":
+        dtype_name = stage.split("_")[1]
+        utt_s, mfu = bench_model(
+            _wavlm_builder, _accel(), dtype_name, batch=64, iters=8
+        )
+        return {"utt_s": round(utt_s, 1), "mfu": round(mfu, 4)}
+    if stage == "cpu_ref":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        utt_s, _ = bench_model(_wavlm_builder, _device("cpu"), "f32",
+                               batch=4, iters=2)
+        return {"cpu_utt_s": round(utt_s, 2)}
+    if stage == "conformer":
+        utt_s, mfu = bench_conformer(_accel(), batch=128, iters=8)
+        return {"conformer_utt_s": round(utt_s, 1),
+                "conformer_mfu": round(mfu, 4)}
+    if stage == "calib_f32" or stage == "calib_bf16":
+        dtype_name = stage.split("_")[1]
+        return {"tflops": round(calibration_gemm(_accel(), dtype_name), 1)}
+    if stage == "frontend":
+        rtf, p50, kind = frontend_rtf_and_latency(_accel())
+        return {"rtf": rtf, "p50": p50, "frontend": kind}
+    raise SystemExit(f"unknown stage {stage}")
+
+
+def _run_child(stage: str, timeout_s: int = 580):
+    """→ (payload dict | None, error str | None)."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", stage],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+    err = [
+        ln for ln in (proc.stderr or "").strip().splitlines()
+        if ln.strip() and "WARNING" not in ln
+    ]
+    return None, (" | ".join(err[-4:])[:400] if err else f"rc={proc.returncode}")
+
+
+def _wait_chip(max_probes: int = 3) -> bool:
+    """After a failed stage, wait for the worker to come back."""
+    for _ in range(max_probes):
+        payload, _ = _run_child("probe", timeout_s=300)
+        if payload and payload.get("ok"):
+            return True
+        time.sleep(30)
+    return False
+
+
+def main() -> None:
+    stages = [
+        "conformer", "wavlm_f32", "frontend", "calib_f32",
+        "cpu_ref", "calib_bf16", "wavlm_bf16",  # bf16 last: fault risk
+    ]
+    results, healthy = {}, True
+    for stage in stages:
+        if not healthy and not stage.startswith("cpu"):
+            healthy = _wait_chip()
+            if not healthy and not stage.startswith("cpu"):
+                results[stage] = {"error": "chip unavailable"}
+                continue
+        payload, err = _run_child(stage)
+        if payload is None:
+            results[stage] = {"error": err}
+            healthy = stage.startswith("cpu")  # device stages: assume fault
+        else:
+            results[stage] = payload
+
+    wavlm = {
+        "f32": results.get("wavlm_f32", {}),
+        "bf16": results.get("wavlm_bf16", {}),
+    }
     best = max(
         (v["utt_s"] for v in wavlm.values() if "utt_s" in v), default=None
     )
-
-    # CPU reference: same graph, same methodology, tiny batch (slow)
-    cpu_utt_s = None
-    try:
-        cpu = _device("cpu")
-        if cpu is not None and accel_kind != "cpu":
-            cpu_utt_s, _ = bench_model(
-                _wavlm_builder, cpu, "f32", batch=4, iters=2
-            )
-    except Exception:
-        pass
-
-    conf_utt_s = conf_mfu = None
-    try:
-        conf_utt_s, conf_mfu = bench_conformer(accel, batch=128, iters=8)
-    except Exception:
-        pass
-
-    calib = {}
-    for dtype_name in ("f32", "bf16"):
-        try:
-            calib[dtype_name] = round(calibration_gemm(accel, dtype_name), 1)
-        except Exception:
-            calib[dtype_name] = None
-
-    rtf = p50 = frontend_kind = None
-    try:
-        rtf, p50, frontend_kind = frontend_rtf_and_latency(accel)
-    except Exception:
-        pass
-
+    cpu_utt_s = results.get("cpu_ref", {}).get("cpu_utt_s")
+    fe = results.get("frontend", {})
     out = {
         "metric": "3s-clip LID utterances/sec/chip (WavLM-Base+ joint infer, all heads)",
         "value": best,
@@ -365,15 +429,26 @@ def main() -> None:
         "wavlm": wavlm,
         "flops_per_utt_gflop": round(wavlm_flagship_flops_per_utt() / 1e9, 2),
         "chip_peak_tflops_assumed": V5E_PEAK_TFLOPS,
-        "calibration_gemm_tflops": calib,
-        "cpu_reference_utt_s": round(cpu_utt_s, 2) if cpu_utt_s else None,
-        "conformer_utt_s": round(conf_utt_s, 1) if conf_utt_s else None,
-        "feature_extraction_rtf": rtf,
-        "frontend": frontend_kind,
-        "p50_latency_ms_single_utt": p50,
+        "calibration_gemm_tflops": {
+            "f32": results.get("calib_f32", {}).get("tflops"),
+            "bf16": results.get("calib_bf16", {}).get("tflops"),
+        },
+        "cpu_reference_utt_s": cpu_utt_s,
+        "conformer_utt_s": results.get("conformer", {}).get("conformer_utt_s"),
+        "feature_extraction_rtf": fe.get("rtf"),
+        "frontend": fe.get("frontend"),
+        "p50_latency_ms_single_utt": fe.get("p50"),
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default=None)
+    args = ap.parse_args()
+    if args.stage:
+        print(json.dumps(run_stage(args.stage)))
+    else:
+        main()
