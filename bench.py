@@ -145,17 +145,28 @@ def bench_model(model_fn, device, dtype_name: str, batch: int, iters: int):
     model, flops_utt = model_fn(dtype_name)
     t = 48000
     rng = np.random.RandomState(0)
-    with jax.default_device(device):
-        lengths = jnp.full((batch,), t, jnp.int32)
-        key = jax.random.PRNGKey(0)
-        w0 = jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
+    # init params on the CPU backend with a 1-utt input: params don't
+    # depend on batch/length, and this avoids burning a whole extra
+    # device compile of the big model (tunneled-chip compiles are minutes)
+    cpu = _device("cpu")
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(cpu):
         variables = model.init(
             {"params": key, "dropout": key, "stochastic_depth": key},
-            w0, lengths, method=MutiLangModel.infer,
+            jnp.zeros((1, 4000), jnp.float32) + 1e-3,
+            jnp.full((1,), 4000, jnp.int32),
+            method=MutiLangModel.infer,
         )
+    with jax.default_device(device):
+        variables = jax.device_put(variables, device)
+        lengths = jnp.full((batch,), t, jnp.int32)
 
+        # NOTE: variables MUST be a jit argument, not a closure — closed-over
+        # params become inline HLO constants, and the tunneled device ships
+        # the serialized program over POST /remote_compile, which rejects
+        # multi-hundred-MB bodies with HTTP 413
         @jax.jit
-        def infer(wavs):
+        def infer(variables, wavs):
             out = model.apply(
                 variables, wavs, lengths, method=MutiLangModel.infer
             )
@@ -164,7 +175,8 @@ def bench_model(model_fn, device, dtype_name: str, batch: int, iters: int):
         def make_input(i):
             return jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
 
-        utt_s = _throughput(infer, make_input, batch, iters)
+        utt_s = _throughput(lambda w: infer(variables, w), make_input,
+                            batch, iters)
     peak = V5E_PEAK_TFLOPS.get(dtype_name, V5E_PEAK_TFLOPS["f32"]) * 1e12
     mfu = flops_utt * utt_s / peak
     return utt_s, mfu
@@ -205,7 +217,7 @@ def bench_conformer(device, batch: int, iters: int):
         )
 
         @jax.jit
-        def infer(wavs):
+        def infer(variables, wavs):  # variables as arg: see bench_model
             mel = jnp.transpose(
                 wav2mel(normalize_wav(wavs, lengths), lengths=lengths),
                 (0, 2, 1),
@@ -219,7 +231,8 @@ def bench_conformer(device, batch: int, iters: int):
         def make_input(i):
             return jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
 
-        utt_s = _throughput(infer, make_input, batch, iters)
+        utt_s = _throughput(lambda w: infer(variables, w), make_input,
+                            batch, iters)
     flops = conformer_flagship_flops_per_utt()
     mfu = flops * utt_s / (V5E_PEAK_TFLOPS["f32"] * 1e12)
     return utt_s, mfu
@@ -278,24 +291,30 @@ def frontend_rtf_and_latency(device):
         l1 = jnp.asarray([48000], jnp.int32)
         key = jax.random.PRNGKey(0)
         w1 = jnp.asarray(rng.randn(1, 48000).astype(np.float32) * 0.1)
+    cpu = _device("cpu")
+    with jax.default_device(cpu):  # cheap CPU init (see bench_model)
         variables = model.init(
-            {"params": key, "dropout": key}, w1, l1,
+            {"params": key, "dropout": key},
+            jnp.zeros((1, 4000), jnp.float32) + 1e-3,
+            jnp.full((1,), 4000, jnp.int32),
             method=MutiLangModel.infer,
         )
+    with jax.default_device(device):
+        variables = jax.device_put(variables, device)
 
         @jax.jit
-        def infer_one(w):
+        def infer_one(variables, w):  # variables as arg: see bench_model
             return model.apply(
                 variables, w, l1, method=MutiLangModel.infer
             )["pred_lang"]
 
-        jax.block_until_ready(infer_one(w1))
+        jax.block_until_ready(infer_one(variables, w1))
         lat = []
         for i in range(20):
             w = jnp.asarray(rng.randn(1, 48000).astype(np.float32) * 0.1)
             jax.block_until_ready(w)
             t0 = time.perf_counter()
-            jax.block_until_ready(infer_one(w))
+            jax.block_until_ready(infer_one(variables, w))
             lat.append(time.perf_counter() - t0)
         p50 = float(np.median(lat) * 1e3)
     return round(float(rtf), 8), round(p50, 3), resolve_method("auto")
@@ -331,7 +350,7 @@ def run_stage(stage: str) -> dict:
     if stage == "wavlm_f32" or stage == "wavlm_bf16":
         dtype_name = stage.split("_")[1]
         utt_s, mfu = bench_model(
-            _wavlm_builder, _accel(), dtype_name, batch=64, iters=8
+            _wavlm_builder, _accel(), dtype_name, batch=32, iters=8
         )
         return {"utt_s": round(utt_s, 1), "mfu": round(mfu, 4)}
     if stage == "cpu_ref":
@@ -403,7 +422,9 @@ def main() -> None:
             if not healthy and not stage.startswith("cpu"):
                 results[stage] = {"error": "chip unavailable"}
                 continue
-        payload, err = _run_child(stage)
+        payload, err = _run_child(
+            stage, timeout_s=880 if stage.startswith("wavlm") else 580
+        )
         if payload is None:
             results[stage] = {"error": err}
             healthy = stage.startswith("cpu")  # device stages: assume fault

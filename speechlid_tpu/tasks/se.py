@@ -95,10 +95,12 @@ class SETask(TaskModule):
             dev = jax.devices(device)[0]
         except RuntimeError:
             dev = jax.devices()[0]
-        apply = jax.jit(lambda w: self._apply(variables, w))
+        # params as a jit ARG (closure constants inflate the serialized
+        # program — the tunneled TPU's /remote_compile rejects huge bodies)
+        apply = jax.jit(lambda v, w: self._apply(v, w))
 
         def enhance(wav: np.ndarray) -> np.ndarray:
             with jax.default_device(dev):
-                return np.asarray(apply(jnp.asarray(wav[None, :])))[0]
+                return np.asarray(apply(variables, jnp.asarray(wav[None, :])))[0]
 
         return enhance
