@@ -43,6 +43,77 @@ class TestInitializeMultihost:
         assert seen["called"]
 
 
+_WORKER_SRC = '''
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from speechlid_tpu.parallel.mesh import initialize_multihost
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+initialize_multihost(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+assert jax.process_count() == nproc
+devs, local = jax.devices(), jax.local_devices()
+mesh = Mesh(np.asarray(devs).reshape(-1), ("data",))
+x = jnp.ones((len(local), 4)) * (pid + 1)
+arr = jax.make_array_from_single_device_arrays(
+    (len(devs), 4), NamedSharding(mesh, P("data")),
+    [jax.device_put(x[i:i + 1], d) for i, d in enumerate(local)])
+total = jax.jit(lambda a: jnp.sum(a),
+                out_shardings=NamedSharding(mesh, P()))(arr)
+print(f"RESULT {pid} {len(devs)} {float(total)}", flush=True)
+'''
+
+
+class TestMultiProcessRendezvous:
+    def test_two_process_collective(self, tmp_path):
+        """REAL multi-process rendezvous on one host: 2 processes × 2
+        virtual CPU devices each, `jax.distributed.initialize` over
+        127.0.0.1 (the reference's env:// MASTER_ADDR/PORT analog,
+        ccml/trainer.py:67-80 / mnist/main.py:89-90 mp.spawn), then one
+        cross-process collective sum over the global mesh."""
+        import socket
+        import subprocess
+        import sys
+
+        worker = tmp_path / "worker.py"
+        worker.write_text(_WORKER_SRC)
+        with socket.socket() as s:  # free port
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                env.get("PYTHONPATH", ""),
+            ) if p and "axon" not in p
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), "2", str(port)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=240) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err[-2000:]
+        results = [
+            ln for out, _ in outs for ln in out.splitlines()
+            if ln.startswith("RESULT")
+        ]
+        assert len(results) == 2
+        for ln in results:
+            _, pid, ndev, total = ln.split()
+            assert ndev == "4"  # 2 procs × 2 local devices, global view
+            # rows: procs 0,1 contribute (pid+1)·ones(2,4) → Σ = 24
+            assert float(total) == 24.0
+
+
 class TestPrepareText:
     def test_prepares_splits_and_vocab(self, tmp_path):
         from speechlid_tpu.cli.prepare_text import main
