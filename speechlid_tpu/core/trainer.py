@@ -97,6 +97,7 @@ class Trainer:
         self.global_step = 0
         self.plateau = None
         self._mask = None
+        self._freeze_sig = ()
         self._train_step = None
         self._eval_step = None
         self._moving_eval_loss: Optional[float] = None
@@ -124,6 +125,7 @@ class Trainer:
             params, model_state, opt_state, state_rng, swa=self.use_swa
         )
         self._mask = _all_ones_like(params)
+        self._freeze_sig = ()
         self._build_steps()
         self._place_state()
 
@@ -168,7 +170,25 @@ class Trainer:
                 sel, new_opt, old_opt, is_leaf=is_params_like
             )
 
-        def train_step(state: TrainState, batch, mask):
+        def stop_by_sig(params, freeze_sig):
+            """Apply ``lax.stop_gradient`` to the fully-frozen top-level
+            subtrees named in the STATIC ``freeze_sig`` tuple.  Unlike the
+            mask multiply (traced, so the backward is still computed then
+            zeroed), this is compile-time structure: XLA prunes the whole
+            frozen-subtree backward — frozen-featurizer epochs skip the
+            encoder backward's FLOPs entirely.  The jit retraces only when
+            the freeze signature changes (a few epoch gates per run)."""
+            if not freeze_sig:
+                return params
+            out = dict(params)
+            for name in freeze_sig:
+                if name in out:
+                    out[name] = jax.tree_util.tree_map(
+                        jax.lax.stop_gradient, out[name]
+                    )
+            return out
+
+        def train_step(state: TrainState, batch, mask, freeze_sig=()):
             rng, step_rng = jax.random.split(state.rng)
             rngs = {
                 name: jax.random.fold_in(step_rng, i)
@@ -176,7 +196,10 @@ class Trainer:
             }
 
             def loss_fn(params):
-                variables = {"params": params, **(state.model_state or {})}
+                variables = {
+                    "params": stop_by_sig(params, freeze_sig),
+                    **(state.model_state or {}),
+                }
                 loss, metrics, mutated = module.train_loop(variables, batch, rngs)
                 return loss, (metrics, mutated)
 
@@ -207,9 +230,23 @@ class Trainer:
             variables = {"params": state.params, **(state.model_state or {})}
             return module.test_loop(variables, batch)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step = jax.jit(
+            train_step, donate_argnums=(0,), static_argnums=(3,)
+        )
         self._eval_step = jax.jit(eval_step)
         self._test_step = jax.jit(test_step)
+
+    @staticmethod
+    def _mask_freeze_sig(mask) -> tuple:
+        """Top-level param groups whose ENTIRE mask subtree is zero —
+        the static freeze signature for backward pruning (sorted tuple so
+        equal sets hash equal across epochs)."""
+        sig = []
+        for name, sub in mask.items():
+            leaves = jax.tree_util.tree_leaves(sub)
+            if leaves and all(float(l) == 0.0 for l in leaves):
+                sig.append(name)
+        return tuple(sorted(sig))
 
     # ----------------------------------------------------------- distribution
     def _place_state(self) -> None:
@@ -259,6 +296,7 @@ class Trainer:
             new_mask = self.module.before_train_loop(epoch)
             if new_mask is not None:
                 self._mask = new_mask
+                self._freeze_sig = self._mask_freeze_sig(new_mask)
 
             # SURVEY.md §5.1: the reference only has a host wall-clock
             # registry — here the first N epochs can additionally capture a
@@ -317,7 +355,7 @@ class Trainer:
             batch = self._place_batch(batch)
             with _time_cost_recoder.measure("train_step_dispatch"):
                 self.state, metrics = self._train_step(
-                    self.state, batch, self._mask
+                    self.state, batch, self._mask, self._freeze_sig
                 )
             if pending is not None:
                 self._collect_train_metrics(pending, outputs, bar)

@@ -159,6 +159,42 @@ class TestTrainerFit:
             p0["Dense_1"]["kernel"], init_params["Dense_1"]["kernel"]
         )
 
+    def test_freeze_sig_prunes_backward_structurally(self):
+        """A fully-zero top-level mask subtree becomes a static freeze
+        signature → lax.stop_gradient on that subtree, so XLA prunes its
+        backward; training result must match the mask-only semantics
+        (frozen stays at init, rest learns)."""
+        data = _make_data(n=64)
+
+        class FrozenFirst(ToyTask):
+            def before_train_loop(self, epoch):
+                def mask_fn(path, leaf):
+                    frozen = "Dense_0" in "/".join(str(p) for p in path)
+                    return jnp.asarray(0.0 if frozen else 1.0)
+
+                return jax.tree_util.tree_map_with_path(
+                    mask_fn, self.trainer.state.params
+                )
+
+        task = FrozenFirst(lr=0.1)
+        tr = Trainer(total_epoch=1, use_progress_bar=False)
+        tr.fit(task, data, data)
+        assert tr._freeze_sig == ("Dense_0",)
+        p = jax.device_get(tr.state.params)
+        tr0 = Trainer(total_epoch=0, use_progress_bar=False)
+        tr0.trainer_prepare(FrozenFirst(lr=0.1), data[0])
+        init = jax.device_get(tr0.state.params)
+        np.testing.assert_allclose(
+            p["Dense_0"]["kernel"], init["Dense_0"]["kernel"]
+        )
+        assert not np.allclose(p["Dense_1"]["kernel"], init["Dense_1"]["kernel"])
+        # partial freeze (not the whole subtree) must NOT enter the sig
+        sig = Trainer._mask_freeze_sig({
+            "a": {"k": jnp.asarray(0.0), "b": jnp.asarray(1.0)},
+            "c": {"k": jnp.asarray(0.0)},
+        })
+        assert sig == ("c",)
+
     def test_freeze_mask_preserves_optimizer_moments(self):
         """Frozen leaves' adam mu/nu must be bit-identical across a frozen
         epoch (torch skips state for requires_grad=False params; reference
