@@ -250,13 +250,23 @@ class LidASRTask(TaskModule):
 
     # ----------------------------------------------------------------- setup
     def init_variables(self, rng, sample_batch):
-        feats, f_len = self._model_inputs(
+        # Init on the CPU backend: params are device-agnostic, this skips a
+        # multi-minute remote compile of the full init graph on the tunneled
+        # TPU, and — critically — avoids running the frontend EAGERLY on
+        # the accelerator, which destabilizes the axon worker for later
+        # train graphs (docs/runs/CHIP_FINDINGS_r2.md).  The trainer places
+        # the returned pytree on the target device afterwards.
+        def _init(wavs, lengths, rng):
+            feats, f_len = self._model_inputs(wavs, lengths)
+            return self.model.init(
+                {"params": rng, "dropout": rng, "stochastic_depth": rng},
+                feats, f_len, method=MutiLangModel.infer,
+            )
+
+        variables = jax.jit(_init, backend="cpu")(
             jnp.asarray(sample_batch["wavs"]),
             jnp.asarray(sample_batch["wav_lengths"]),
-        )
-        variables = self.model.init(
-            {"params": rng, "dropout": rng, "stochastic_depth": rng},
-            feats, f_len, method=MutiLangModel.infer,
+            rng,
         )
         if getattr(self, "_ssl_params", None):
             # warm-start the SSL upstream from the converted torch ckpt

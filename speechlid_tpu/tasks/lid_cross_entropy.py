@@ -148,11 +148,17 @@ class LidCrossEntropyTask(TaskModule):
         return normalize_wav(wavs, wav_lengths), wav_lengths
 
     def init_variables(self, rng, sample_batch):
-        feats, f_len = self._model_inputs(
+        # CPU-backend init: see LidASRTask.init_variables (avoids eager
+        # device frontend + the tunneled chip's huge init compile)
+        def _init(wavs, lengths, rng):
+            feats, f_len = self._model_inputs(wavs, lengths)
+            return self.model.init({"params": rng}, feats, f_len)
+
+        variables = jax.jit(_init, backend="cpu")(
             jnp.asarray(sample_batch["wavs"]),
             jnp.asarray(sample_batch["wav_lengths"]),
+            rng,
         )
-        variables = self.model.init({"params": rng}, feats, f_len)
         if getattr(self, "_ssl_params", None):
             variables = dict(variables)
             params = dict(variables["params"])
