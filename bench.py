@@ -177,7 +177,8 @@ def bench_model(model_fn, device, dtype_name: str, batch: int, iters: int):
 
         utt_s = _throughput(lambda w: infer(variables, w), make_input,
                             batch, iters)
-    peak = V5E_PEAK_TFLOPS.get(dtype_name, V5E_PEAK_TFLOPS["f32"]) * 1e12
+    peak_key = "bf16" if dtype_name.startswith("bf16") else dtype_name
+    peak = V5E_PEAK_TFLOPS.get(peak_key, V5E_PEAK_TFLOPS["f32"]) * 1e12
     mfu = flops_utt * utt_s / peak
     return utt_s, mfu
 
@@ -187,8 +188,15 @@ def _wavlm_builder(dtype_name: str):
 
     from __graft_entry__ import _flagship_wavlm
 
-    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
-    model = _flagship_wavlm(n_lang=3, dtype=dt)
+    if dtype_name == "bf16mix":
+        # bf16 encoder + f32 heads: the stable mixed config on this chip
+        # (bf16 Conformer-head fusions hang — docs/runs/CHIP_FINDINGS_r2.md)
+        model = _flagship_wavlm(
+            n_lang=3, dtype=jnp.bfloat16, head_dtype=jnp.float32
+        )
+    else:
+        dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+        model = _flagship_wavlm(n_lang=3, dtype=dt)
     return model, wavlm_flagship_flops_per_utt()
 
 
@@ -347,8 +355,8 @@ def run_stage(stage: str) -> dict:
         x = jnp.ones((64, 64), jnp.float32)
         jax.block_until_ready(x @ x)
         return {"ok": True}
-    if stage == "wavlm_f32" or stage == "wavlm_bf16":
-        dtype_name = stage.split("_")[1]
+    if stage in ("wavlm_f32", "wavlm_bf16", "wavlm_bf16mix"):
+        dtype_name = stage.split("_", 1)[1]
         utt_s, mfu = bench_model(
             _wavlm_builder, _accel(), dtype_name, batch=32, iters=8
         )
@@ -413,7 +421,8 @@ def _wait_chip(max_probes: int = 3) -> bool:
 def main() -> None:
     stages = [
         "conformer", "wavlm_f32", "frontend", "calib_f32",
-        "cpu_ref", "calib_bf16", "wavlm_bf16",  # bf16 last: fault risk
+        "cpu_ref", "calib_bf16", "wavlm_bf16mix",
+        "wavlm_bf16",  # full bf16 last: known hang risk on this worker
     ]
     results, healthy = {}, True
     for stage in stages:
@@ -433,6 +442,7 @@ def main() -> None:
 
     wavlm = {
         "f32": results.get("wavlm_f32", {}),
+        "bf16_mixed": results.get("wavlm_bf16mix", {}),
         "bf16": results.get("wavlm_bf16", {}),
     }
     best = max(
