@@ -336,19 +336,34 @@ def wav2mel(
         # lazy import: fbank_kernel imports this module for the shared bases
         from speechlid_tpu.ops.pallas.fbank_kernel import pallas_log_mel
 
-        mel_db = pallas_log_mel(
-            wav, sample_rate=sample_rate, n_fft=n_fft, win_length=win,
-            hop_length=hop, n_mels=n_mels,
+        def _pallas_branch(wav):
+            mel_db = pallas_log_mel(
+                wav, sample_rate=sample_rate, n_fft=n_fft, win_length=win,
+                hop_length=hop, n_mels=n_mels,
+            )
+            # same top_db clamp as amplitude_to_db (kernel emits raw dB)
+            if f_len is not None:
+                t = jnp.arange(mel_db.shape[-1])
+                valid = t[None, None, :] < f_len[:, None, None]
+                peak = jnp.max(jnp.where(valid, mel_db, -jnp.inf),
+                               axis=(-2, -1), keepdims=True)
+            else:
+                peak = jnp.max(mel_db, axis=(-2, -1), keepdims=True)
+            return jnp.maximum(mel_db, peak - 80.0)
+
+        def _xla_branch(wav):
+            mel = mel_spectrogram(
+                wav, sample_rate, n_fft=n_fft, win_length=win,
+                hop_length=hop, n_mels=n_mels, method="dft_conv",
+            )
+            return amplitude_to_db(mel, top_db=80.0, lengths=f_len)
+
+        # branch on the LOWERING platform, not the process default: the
+        # same trace may be lowered for CPU (e.g. CPU-backend param init,
+        # multi-backend jit) where the Mosaic kernel can't compile
+        return jax.lax.platform_dependent(
+            wav, tpu=_pallas_branch, default=_xla_branch
         )
-        # same top_db clamp as amplitude_to_db (kernel emits unclamped dB)
-        if f_len is not None:
-            t = jnp.arange(mel_db.shape[-1])
-            valid = t[None, None, :] < f_len[:, None, None]
-            peak = jnp.max(jnp.where(valid, mel_db, -jnp.inf), axis=(-2, -1),
-                           keepdims=True)
-        else:
-            peak = jnp.max(mel_db, axis=(-2, -1), keepdims=True)
-        return jnp.maximum(mel_db, peak - 80.0)
     mel = mel_spectrogram(
         wav, sample_rate, n_fft=n_fft, win_length=win, hop_length=hop,
         n_mels=n_mels, method=method,
