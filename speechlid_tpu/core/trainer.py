@@ -49,7 +49,10 @@ from speechlid_tpu.core.state import TrainState
 
 
 def _all_ones_like(tree):
-    return jax.tree_util.tree_map(lambda x: jnp.ones((), jnp.float32), tree)
+    # host-side numpy scalars: building the mask must NOT issue a storm of
+    # tiny eager device ops (destabilizes the axon worker for later train
+    # graphs — docs/runs/CHIP_FINDINGS_r2.md); jit device_puts them on use
+    return jax.tree_util.tree_map(lambda x: np.ones((), np.float32), tree)
 
 
 class Trainer:
@@ -119,7 +122,11 @@ class Trainer:
         if self.accum_grad > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accum_grad)
         self.tx = tx
-        opt_state = tx.init(params)
+        # CPU-backend opt init: an eager tx.init is ~a-few-hundred tiny
+        # zeros_like device ops — the same eager-op storm that destabilizes
+        # the axon worker for later train graphs; one small CPU program
+        # instead, placed on the target device with the rest of the state
+        opt_state = jax.jit(tx.init, backend="cpu")(params)
 
         self.state = TrainState.create(
             params, model_state, opt_state, state_rng, swa=self.use_swa

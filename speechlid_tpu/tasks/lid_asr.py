@@ -342,8 +342,10 @@ class LidASRTask(TaskModule):
         freeze_trans = epoch <= self.freeze_transformer_epoch
         keep_lang = self.keep_train_lang
         if not freeze_feat and not freeze_trans and keep_lang is None:
+            # numpy scalars: mask building must not issue eager device ops
+            # (axon worker stability — docs/runs/CHIP_FINDINGS_r2.md)
             return jax.tree_util.tree_map(
-                lambda _: jnp.ones((), jnp.float32), self.trainer.state.params
+                lambda _: np.ones((), np.float32), self.trainer.state.params
             )
         keep_idx = None if keep_lang is None else self.lang2index[keep_lang]
 
@@ -357,18 +359,19 @@ class LidASRTask(TaskModule):
                 if self.featurizer_kind == "conformer" or (
                     "feature_extractor" in keys
                 ):
-                    return jnp.zeros((), jnp.float32)
+                    return np.zeros((), np.float32)
             if freeze_trans and keys.startswith("featurizer") and any(
                 part in keys
                 for part in ("layers_", "pos_conv", "encoder_layer_norm")
             ):
-                return jnp.zeros((), jnp.float32)
+                return np.zeros((), np.float32)
             # stacked heads: leading axis L — freeze all but keep_idx by a
             # per-language broadcastable vector mask
             if keep_idx is not None and keys.startswith("heads"):
-                m = jnp.zeros((leaf.shape[0],), jnp.float32).at[keep_idx].set(1.0)
+                m = np.zeros((leaf.shape[0],), np.float32)
+                m[keep_idx] = 1.0
                 return m.reshape((-1,) + (1,) * (leaf.ndim - 1))
-            return jnp.ones((), jnp.float32)
+            return np.ones((), np.float32)
 
         logging.info(
             "freeze schedule: featurizer_frozen=%s keep_train_lang=%s",
