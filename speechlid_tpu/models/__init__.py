@@ -19,7 +19,7 @@ from speechlid_tpu.models.conformer import (
     Conv2dSubsampling,
     FBankLayer,
 )
-from speechlid_tpu.models.fasnet import FaSNetTAC
+from speechlid_tpu.models.fasnet import FaSNetOrigin, FaSNetTAC
 from speechlid_tpu.models.se import DPRNNEnhancer, si_snr
 from speechlid_tpu.models.seldnet import (
     SELDNet,

@@ -280,6 +280,110 @@ class BFModule(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class FaSNetOrigin(nn.Module):
+    """Original two-stage FaSNet (reference FaSNet_origin, FaSNet.py:466-556):
+    stage 1 filters the reference mic into a clean cue (DPRNN over
+    enc⊕cosine features, ``nspk`` filters); stage 2 beamforms every other
+    mic against that cue (second DPRNN, one filter per mic) and the
+    overlap-added outputs are averaged over valid mics.
+
+    (B, nmic, T) (+ optional ``num_mic`` (B,)) → (B, nspk, T)."""
+
+    enc_dim: int = 64
+    feature_dim: int = 64
+    hidden_dim: int = 128
+    n_layers: int = 6
+    segment_size: int = 50
+    nspk: int = 1
+    win_len_ms: float = 4.0
+    context_len_ms: float = 16.0
+    sr: int = 16000
+
+    @nn.compact
+    def __call__(
+        self, wav: jax.Array, num_mic: Optional[jax.Array] = None
+    ) -> jax.Array:
+        b, nmic, t = wav.shape
+        w = int(self.sr * self.win_len_ms / 1000)
+        c = int(self.sr * self.context_len_ms / 1000)
+        stride = w // 2
+        filter_dim = 2 * c + 1
+
+        rest = (w - (stride + t % w) % w) % w
+        x = jnp.pad(wav, [(0, 0), (0, 0), (stride, rest + stride)])
+        nsample = x.shape[-1]
+        x = jnp.pad(x, [(0, 0), (0, 0), (c, c)])
+        L = 2 * nsample // w - 1
+        idx = jnp.arange(L)[:, None] * stride + jnp.arange(2 * c + w)[None, :]
+        chunks = x[..., idx]  # B, nmic, L, 2c+w
+        center = chunks[..., c : c + w]
+
+        # shared waveform encoder + gLN (reference self.encoder/enc_LN used
+        # by both stages, FaSNet.py:367-369,504,528)
+        encoder = nn.Dense(self.enc_dim, use_bias=False, name="encoder")
+        enc_norm = GlobalLayerNorm(name="enc_norm")
+
+        def encode(ctx):  # (B*, L, 2c+w) → (B*, N, L), normalized
+            e = jnp.swapaxes(encoder(ctx), -1, -2)
+            return enc_norm(e.reshape(-1, self.enc_dim, ctx.shape[-2])
+                            ).reshape(e.shape)
+
+        # ---- stage 1: clean up the reference mic
+        # cosine of OTHER mics' center frames slid over the ref context,
+        # averaged over valid others (FaSNet.py:485-498)
+        ref_cos = sliding_cosine(
+            chunks[:, :1], center[:, 1:]
+        )  # B, nmic-1, L, 2c+1
+        n_other = None if num_mic is None else jnp.maximum(num_mic - 1, 1)
+        ref_cos = _masked_mean(ref_cos, n_other, axis=1)  # B, L, 2c+1
+        ref_enc = encode(chunks[:, 0])  # B, N, L
+        ref_feat = jnp.concatenate(
+            [ref_enc, jnp.swapaxes(ref_cos, -1, -2)], axis=1
+        )[:, None]  # B, 1, N+2c+1, L
+        ref_filter = BFModule(
+            self.feature_dim, self.hidden_dim, filter_dim,
+            self.n_layers, self.segment_size, self.nspk, use_tac=False,
+            name="ref_bf",
+        )(ref_feat)[:, 0]  # B, nspk, L, 2c+1
+        ref_out = sliding_corr(
+            chunks[:, :1], ref_filter, w
+        )  # B, nspk, L, w  (ref context ⋆ per-spk filter)
+
+        # ---- stage 2: beamform the other mics against the cue
+        other_ctx = chunks[:, None, 1:]  # B, 1, nmic-1, L, 3w'
+        other_cos = sliding_cosine(
+            other_ctx, ref_out[:, :, None]
+        )  # B, nspk, nmic-1, L, 2c+1
+        other_enc = encode(
+            chunks[:, 1:].reshape(b * (nmic - 1), L, 2 * c + w)
+        ).reshape(b, nmic - 1, self.enc_dim, L)
+        other_enc = jnp.broadcast_to(
+            other_enc[:, None], (b, self.nspk) + other_enc.shape[1:]
+        )
+        other_feat = jnp.concatenate(
+            [other_enc, jnp.swapaxes(other_cos, -1, -2)], axis=3
+        )  # B, nspk, nmic-1, N+2c+1, L
+        other_filter = BFModule(
+            self.feature_dim, self.hidden_dim, filter_dim,
+            self.n_layers, self.segment_size, 1, use_tac=False,
+            name="other_bf",
+        )(other_feat.reshape(
+            b * self.nspk, nmic - 1, self.enc_dim + filter_dim, L
+        ))[:, :, 0]  # B*nspk, nmic-1, L, 2c+1
+        other_out = sliding_corr(
+            jnp.broadcast_to(
+                other_ctx, (b, self.nspk, nmic - 1, L, 2 * c + w)
+            ).reshape(b * self.nspk, nmic - 1, L, 2 * c + w),
+            other_filter, w,
+        ).reshape(b, self.nspk, nmic - 1, L, w)
+
+        all_out = jnp.concatenate(
+            [ref_out[:, :, None], other_out], axis=2
+        )  # B, nspk, nmic, L, w
+        sig = overlap_add(all_out, stride)[..., stride : stride + t]
+        return _masked_mean(sig, num_mic, axis=2)  # B, nspk, T
+
+
 class FaSNetTAC(nn.Module):
     """Single-stage FaSNet + TAC (reference FaSNet_TAC, FaSNet.py:558-616).
 

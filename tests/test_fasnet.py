@@ -166,3 +166,47 @@ class TestSELDNet:
         )
         assert "batch_stats" in mutated
         assert sed.shape[0] == 2
+
+
+class TestFaSNetOrigin:
+    def _tiny(self, **kw):
+        from speechlid_tpu.models.fasnet import FaSNetOrigin
+
+        conf = dict(enc_dim=16, feature_dim=16, hidden_dim=24, n_layers=1,
+                    segment_size=10, nspk=1)
+        conf.update(kw)
+        return FaSNetOrigin(**conf)
+
+    def test_forward_and_grad(self):
+        rng = np.random.RandomState(0)
+        model = self._tiny()
+        wav = jnp.asarray(rng.randn(1, 3, 2000).astype(np.float32) * 0.1)
+        params = model.init(jax.random.PRNGKey(0), wav)
+        out = jax.jit(model.apply)(params, wav)
+        assert out.shape == (1, 1, 2000)
+        assert np.isfinite(np.asarray(out)).all()
+
+        g = jax.grad(lambda p: jnp.mean(model.apply(p, wav) ** 2))(params)
+        gn = sum(float(jnp.sum(x**2)) for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gn) and gn > 0
+
+    def test_shared_encoder_params(self):
+        """Both stages share one waveform encoder + gLN (reference
+        FaSNet.py:367-369 — self.encoder/enc_LN used in stage 1 and 2)."""
+        rng = np.random.RandomState(1)
+        model = self._tiny()
+        wav = jnp.asarray(rng.randn(1, 2, 2000).astype(np.float32) * 0.1)
+        params = model.init(jax.random.PRNGKey(0), wav)["params"]
+        assert "encoder" in params and "enc_norm" in params
+        assert "ref_bf" in params and "other_bf" in params
+
+    def test_num_mic_masking(self):
+        rng = np.random.RandomState(2)
+        model = self._tiny()
+        wav = jnp.asarray(rng.randn(2, 3, 2000).astype(np.float32) * 0.1)
+        params = model.init(jax.random.PRNGKey(0), wav)
+        fixed = np.asarray(model.apply(params, wav))
+        full = np.asarray(model.apply(params, wav, jnp.asarray([3, 3])))
+        np.testing.assert_allclose(full, fixed, rtol=1e-4, atol=1e-5)
+        part = np.asarray(model.apply(params, wav, jnp.asarray([2, 3])))
+        assert not np.allclose(part[0], fixed[0], atol=1e-6)
