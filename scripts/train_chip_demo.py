@@ -5,14 +5,19 @@ and per-step device timings (SURVEY.md §7.2 stage-3 milestone).
 Run on the TPU chip:
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_chip_demo.py
 
-Writes a markdown report (loss curve + step timings + resume proof) to
-docs/runs/TRAIN_CHIP_<date>.md.
+Each training phase runs in its OWN SUBPROCESS (`--phase 1|2`) with a
+chip-health probe between — the documented robust pattern for the
+experimental axon worker (docs/runs/CHIP_FINDINGS_r2.md); the parent
+assembles the markdown report at docs/runs/TRAIN_CHIP_<date>.md.
 """
 
 from __future__ import annotations
 
+import argparse
 import datetime
+import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -20,19 +25,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from speechlid_tpu.core import Trainer
-from speechlid_tpu.core.callbacks import CkptCallback
-from speechlid_tpu.core.profile import _time_cost_recoder
-from speechlid_tpu.data import (
-    BucketFeeder,
-    CTCTokenizer,
-    MergedDataset,
-    MultiBatchSampler,
-    RawManifest,
-)
-from speechlid_tpu.data.audio_io import write_wav
-from speechlid_tpu.tasks import LidASRTask
 
 SR = 16000
 LANG_TEXTS = {
@@ -43,6 +35,8 @@ LANG_TEXTS = {
 
 
 def make_corpus(root: str, n: int = 32):
+    from speechlid_tpu.data.audio_io import write_wav
+
     rng = np.random.RandomState(0)
     paths = []
     for li, (lang, texts) in enumerate(sorted(LANG_TEXTS.items())):
@@ -69,6 +63,8 @@ def make_corpus(root: str, n: int = 32):
 
 
 def build(corpus_root: str):
+    from speechlid_tpu.data import CTCTokenizer, MergedDataset, RawManifest
+
     paths = make_corpus(corpus_root)
     manifests = [RawManifest(p, max_duration=3.0, source="xf") for p in paths]
     vocabs = {m.lang(): m.export_vocab() for m in manifests}
@@ -80,11 +76,15 @@ def build(corpus_root: str):
 
 
 def feeder(ds, batch=8, seed=0):
+    from speechlid_tpu.data import BucketFeeder, MultiBatchSampler
+
     sampler = MultiBatchSampler(ds, batch_size=batch, seed=seed)
     return BucketFeeder(ds, sampler, buckets_s=(1.0, 2.0), max_text_len=16)
 
 
 def make_task(toks, lang2index, lang2vocab):
+    from speechlid_tpu.tasks import LidASRTask
+
     return LidASRTask(
         lang2vocab=lang2vocab, lang2index=lang2index, tokenizers=toks,
         n_blocks=4, encoder_dim=96, heads=4, dim_head=24,
@@ -94,56 +94,82 @@ def make_task(toks, lang2index, lang2vocab):
     )
 
 
-def main():
+def run_phase(phase: int, corpus_root: str, ckpt_dir: str, out_json: str):
+    """One training phase in this process; writes results as JSON."""
     import jax
+
+    from speechlid_tpu.core import Trainer
+    from speechlid_tpu.core.callbacks import CkptCallback
+    from speechlid_tpu.core.profile import _time_cost_recoder
 
     os.environ.setdefault("SPEECHLID_CACHE_DISABLE", "1")
     platform = jax.devices()[0].platform
-    corpus_root = tempfile.mkdtemp(prefix="lid_chip_demo_")
-    ckpt_dir = tempfile.mkdtemp(prefix="lid_chip_ckpt_")
     ds, toks, lang2index, lang2vocab = build(corpus_root)
+    task = make_task(toks, lang2index, lang2vocab)
 
     losses = []
+    orig = task.train_loop_end
 
-    def capture(task):
-        orig = task.train_loop_end
+    def wrapped(outputs):
+        r = orig(outputs)
+        losses.append(float(r.get("avg_train_loss", np.nan)))
+        return r
 
-        def wrapped(outputs):
-            r = orig(outputs)
-            losses.append(float(r.get("avg_train_loss", np.nan)))
-            return r
+    task.train_loop_end = wrapped
 
-        task.train_loop_end = wrapped
-
-    # ---- phase 1: fresh fit
-    task = make_task(toks, lang2index, lang2vocab)
-    capture(task)
-    tr = Trainer(
-        total_epoch=8, use_progress_bar=False, seed=0,
-        callbacks=[CkptCallback(ckpt_dir, monitor="avg_val_loss")],
-    )
-    t0 = time.perf_counter()
     _time_cost_recoder.remove_recoder()
-    tr.fit(task, feeder(ds), feeder(ds))
-    wall_phase1 = time.perf_counter() - t0
-    timings = _time_cost_recoder.snapshot()
-
-    phase1_losses = list(losses)
-    step_count = tr.global_step
-
-    # ---- phase 2: resume and continue
-    task2 = make_task(toks, lang2index, lang2vocab)
-    capture(task2)
-    tr2 = Trainer(
-        total_epoch=12, use_progress_bar=False, seed=0,
-        checkpoint_path=os.path.join(ckpt_dir, "last.ckpt"),
-        callbacks=[CkptCallback(ckpt_dir, monitor="avg_val_loss")],
+    t0 = time.perf_counter()
+    if phase == 1:
+        tr = Trainer(
+            total_epoch=8, use_progress_bar=False, seed=0,
+            callbacks=[CkptCallback(ckpt_dir, monitor="avg_val_loss")],
+        )
+        tr.fit(task, feeder(ds), feeder(ds))
+        result = {"start_epoch": 0}
+    else:
+        tr = Trainer(
+            total_epoch=12, use_progress_bar=False, seed=0,
+            checkpoint_path=os.path.join(ckpt_dir, "last.ckpt"),
+            callbacks=[CkptCallback(ckpt_dir, monitor="avg_val_loss")],
+        )
+        tr.fit(task, feeder(ds), feeder(ds))
+        result = {"start_epoch": tr.start_epoch}
+    wall = time.perf_counter() - t0
+    final_eval = tr._run_eval_epoch(feeder(ds))
+    timings = {
+        k: [v, c] for k, (v, c) in _time_cost_recoder.snapshot().items()
+    }
+    result.update(
+        platform=platform, losses=losses, wall_s=round(wall, 1),
+        global_step=tr.global_step, timings=timings,
+        final_eval={k: float(v) for k, v in final_eval.items()
+                    if isinstance(v, (int, float, np.floating))},
     )
-    tr2.fit(task2, feeder(ds), feeder(ds))
-    phase2_losses = losses[len(phase1_losses):]
-    final_eval = tr2._run_eval_epoch(feeder(ds))
+    with open(out_json, "w") as f:
+        json.dump(result, f)
+    print(f"phase {phase} done: {len(losses)} epochs, "
+          f"last loss {losses[-1]:.4f}")
 
-    # ---- report
+
+def orchestrate():
+    corpus_root = tempfile.mkdtemp(prefix="lid_chip_demo_")
+    ckpt_dir = tempfile.mkdtemp(prefix="lid_chip_ckpt_")
+    build(corpus_root)  # host-side: write the corpus once, phases reuse it
+
+    results = {}
+    for phase in (1, 2):
+        out_json = os.path.join(ckpt_dir, f"phase{phase}.json")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", str(phase),
+             "--corpus", corpus_root, "--ckpt-dir", ckpt_dir,
+             "--out-json", out_json],
+            timeout=2400,
+        )
+        if proc.returncode != 0 or not os.path.exists(out_json):
+            raise SystemExit(f"phase {phase} failed (rc={proc.returncode})")
+        results[phase] = json.load(open(out_json))
+
+    p1, p2 = results[1], results[2]
     date = datetime.date.today().isoformat()
     os.makedirs("docs/runs", exist_ok=True)
     out = f"docs/runs/TRAIN_CHIP_{date}.md"
@@ -159,53 +185,67 @@ def main():
 
     per_step = {
         k: f"{1e3 * v / max(c, 1):.1f} ms ×{c}"
-        for k, (v, c) in sorted(timings.items())
+        for k, (v, c) in sorted(p2["timings"].items())
     }
     with open(out, "w") as f:
         f.write(f"""# On-chip training demo — {date}
 
 Supervised Conformer LID (4×96-d, 4× subsample, 3 synthetic languages,
-96 utts) trained END-TO-END on the real TPU chip (platform `{platform}`),
-then checkpoint-resumed and continued — SURVEY.md §7.2 stage-3 milestone,
-VERDICT round-1 item 6.
+96 utts) trained END-TO-END on the real TPU chip (platform
+`{p1["platform"]}`), then checkpoint-resumed in a FRESH process and
+continued — SURVEY.md §7.2 stage-3 milestone, VERDICT round-1 item 6.
+Each phase is its own subprocess (axon-worker robustness pattern,
+docs/runs/CHIP_FINDINGS_r2.md).
 
 Reproduce: `PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_chip_demo.py`
 
-## Phase 1 — fresh fit (8 epochs, {step_count} steps, {wall_phase1:.1f}s wall)
+## Phase 1 — fresh fit (8 epochs, {p1["global_step"]} steps, {p1["wall_s"]}s wall)
 
 | epoch | avg_train_loss | curve (higher bar = lower loss) |
 |---|---|---|
-{curve(phase1_losses)}
+{curve(p1["losses"])}
 
-## Phase 2 — resume from `last.ckpt`, continue to epoch 12
+## Phase 2 — resume from `last.ckpt` in a new process, continue to epoch 12
 
-Resume restored epoch={tr2.start_epoch}, global_step={step_count}.
+Resume restored epoch={p2["start_epoch"]}, continued to
+global_step={p2["global_step"]} ({p2["wall_s"]}s wall).
 
 | epoch | avg_train_loss | curve |
 |---|---|---|
-{curve(phase2_losses)}
+{curve(p2["losses"])}
 
 ## Final eval (after resume+continue)
 
 ```
-{final_eval}
+{json.dumps(p2["final_eval"], indent=2)}
 ```
 
-## Host-side step timings (TimeCostRecoder)
+## Host-side step timings, phase 2 (TimeCostRecoder)
 
 ```
 {chr(10).join(f"{k:30s} {v}" for k, v in per_step.items())}
 ```
 
-Monotone-decreasing loss across the resume boundary
-({phase1_losses[-1]:.4f} → {phase2_losses[-1]:.4f}) confirms optimizer +
+Loss decreasing across the resume boundary
+({p1["losses"][-1]:.4f} → {p2["losses"][-1]:.4f}) confirms optimizer +
 model + logger state restore (both reference resume paths, SURVEY §3.4).
 """)
     print(f"report: {out}")
-    print("phase1 losses:", [round(x, 3) for x in phase1_losses])
-    print("phase2 losses:", [round(x, 3) for x in phase2_losses])
-    assert phase2_losses[-1] < phase1_losses[0], "loss did not improve"
-    assert tr2.start_epoch == 8, tr2.start_epoch
+    assert p2["losses"][-1] < p1["losses"][0], "loss did not improve"
+    assert p2["start_epoch"] == 8, p2["start_epoch"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", type=int, default=None)
+    ap.add_argument("--corpus", default=None)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--out-json", default=None)
+    args = ap.parse_args()
+    if args.phase:
+        run_phase(args.phase, args.corpus, args.ckpt_dir, args.out_json)
+    else:
+        orchestrate()
 
 
 if __name__ == "__main__":

@@ -530,11 +530,11 @@ class Trainer:
         epoch + logger counters + plateau."""
         payload = load_checkpoint(path)
         self.state = restore_state(self.state, payload)
-        if self.mesh is None:
-            # move restored numpy leaves onto the device up front: calling
-            # jit with a large all-numpy pytree transfers at dispatch time,
-            # which has proven fragile on the axon TPU stack
-            self.state = jax.device_put(self.state)
+        # restored leaves stay host-side numpy; the first jitted step's
+        # dispatch transfers them — an explicit many-leaf device_put here
+        # faulted the axon worker (phase-2 resume bisect,
+        # docs/runs/CHIP_FINDINGS_r2.md), while dispatch-time transfer is
+        # exactly how the fresh-fit path (CPU-backend init) behaves
         self._place_state()
         meta = payload.get("meta", {})
         self.start_epoch = int(meta.get("epoch", -1)) + 1
