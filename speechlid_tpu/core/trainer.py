@@ -529,12 +529,20 @@ class Trainer:
         """Training resume (reference trainer.py:699-748): restore state +
         epoch + logger counters + plateau."""
         payload = load_checkpoint(path)
-        self.state = restore_state(self.state, payload)
-        # restored leaves stay host-side numpy; the first jitted step's
-        # dispatch transfers them — an explicit many-leaf device_put here
-        # faulted the axon worker (phase-2 resume bisect,
-        # docs/runs/CHIP_FINDINGS_r2.md), while dispatch-time transfer is
-        # exactly how the fresh-fit path (CPU-backend init) behaves
+        template = self.state  # fresh-init state: the canonical dtypes
+        restored = restore_state(template, payload)
+        # canonicalize the restored (numpy) leaves through one CPU-backend
+        # program so dtypes/devices exactly match the fresh-init state the
+        # train step was compiled against — msgpack round-trips change
+        # scalar dtypes (int32→int64), forcing a retrace, and an explicit
+        # many-leaf device_put here faulted the axon worker (phase-2
+        # resume bisect, docs/runs/CHIP_FINDINGS_r2.md)
+        self.state = jax.jit(
+            lambda s: jax.tree_util.tree_map(
+                lambda x, t: jnp.asarray(x, t.dtype), s, template
+            ),
+            backend="cpu",
+        )(restored)
         self._place_state()
         meta = payload.get("meta", {})
         self.start_epoch = int(meta.get("epoch", -1)) + 1
