@@ -85,6 +85,14 @@ class CAvg:
     def merge_state(self, pairs: Sequence[Tuple[int, int, float]]) -> None:
         self._pairs.extend((int(a), int(b), float(c)) for a, b, c in pairs)
 
+    def sync(self) -> None:
+        """Allgather trial pairs across jax processes (reference
+        dist_reduce_fx='cat', lid/eer.py:74).  Call once before compute()."""
+        from speechlid_tpu.metrics.dist import allgather_rows
+
+        g = allgather_rows(self.state, n_cols=3)
+        self._pairs = [(int(a), int(b), float(c)) for a, b, c in g]
+
     @property
     def state(self) -> np.ndarray:
         return np.asarray(self._pairs, dtype=np.float64).reshape(-1, 3)

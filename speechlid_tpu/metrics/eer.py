@@ -109,6 +109,21 @@ class EER:
         self._labels.extend(int(x) for x in labels)
         self._scores.extend(float(x) for x in scores)
 
+    def sync(self) -> None:
+        """Replace local state with the global allgathered state across
+        jax processes (reference dist_reduce_fx='cat', lid/eer.py:47-48).
+        No-op single-process; idempotent only per eval round — call once,
+        right before compute()."""
+        from speechlid_tpu.metrics.dist import allgather_rows
+
+        rows = np.column_stack(
+            [np.asarray(self._labels, np.float64),
+             np.asarray(self._scores, np.float64)]
+        ) if self._labels else np.zeros((0, 2))
+        g = allgather_rows(rows, n_cols=2)
+        self._labels = [int(x) for x in g[:, 0]]
+        self._scores = [float(x) for x in g[:, 1]]
+
     @property
     def state(self) -> Tuple[np.ndarray, np.ndarray]:
         return np.asarray(self._labels), np.asarray(self._scores)

@@ -56,6 +56,15 @@ class _ErrorRate:
         self.errors += int(errors)
         self.total += int(total)
 
+    def sync(self) -> None:
+        """Sum counts across jax processes (torchmetrics DDP sum analog).
+        Call once before compute()."""
+        from speechlid_tpu.metrics.dist import allreduce_sum_counts
+
+        self.errors, self.total = (
+            int(x) for x in allreduce_sum_counts(self.errors, self.total)
+        )
+
     def compute(self) -> float:
         return self.errors / self.total if self.total else 0.0
 
@@ -89,6 +98,14 @@ class Accuracy:
     def merge_state(self, correct: int, total: int) -> None:
         self.correct += int(correct)
         self.total += int(total)
+
+    def sync(self) -> None:
+        """Sum counts across jax processes.  Call once before compute()."""
+        from speechlid_tpu.metrics.dist import allreduce_sum_counts
+
+        self.correct, self.total = (
+            int(x) for x in allreduce_sum_counts(self.correct, self.total)
+        )
 
     def compute(self) -> float:
         return self.correct / self.total if self.total else 0.0

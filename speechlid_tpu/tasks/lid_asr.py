@@ -419,6 +419,18 @@ class LidASRTask(TaskModule):
                         texts[i : i + 1], [int(text_lens[i])]
                     )[0]
                     self.err_fn.update([hyp], [ref])
+        # multi-host: aggregate metric state across processes before compute
+        # (reference dist_reduce_fx="cat" on EER/CAvg, lid/eer.py:47-48,74;
+        # torchmetrics count-sum on CER/WER) — no-op single-process
+        if jax.process_count() > 1:
+            for m in (self.eer, self.cavg, self.eer_true, self.cavg_true,
+                      self.err_fn):
+                m.sync()
+            from speechlid_tpu.metrics.dist import allreduce_sum_counts
+
+            correct, total = (
+                int(x) for x in allreduce_sum_counts(correct, total)
+            )
         multi = self.n_lang > 1  # LID metrics degenerate for pure ASR
         result = {
             "avg_val_loss": float(np.mean(losses)) if losses else float("nan"),

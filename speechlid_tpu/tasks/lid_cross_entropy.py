@@ -226,6 +226,11 @@ class LidCrossEntropyTask(TaskModule):
             self.eer.update(probs, langs)
             self.cavg.update(probs, langs)
             self.acc.update(probs, langs)
+        # multi-host: aggregate metric state across processes before compute
+        # (reference dist_reduce_fx="cat", lid/eer.py:47-48,74)
+        if jax.process_count() > 1:
+            for m in (self.eer, self.cavg, self.acc):
+                m.sync()
         result = {
             "avg_val_loss": float(np.mean(losses)) if losses else float("nan"),
             "val_acc": self.acc.compute(),

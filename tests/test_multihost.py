@@ -114,6 +114,105 @@ class TestMultiProcessRendezvous:
             assert float(total) == 24.0
 
 
+_METRIC_WORKER_SRC = '''
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from speechlid_tpu.parallel.mesh import initialize_multihost
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+initialize_multihost(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+import numpy as np
+from speechlid_tpu.metrics import Accuracy, CAvg, CharErrorRate, EER
+
+rng = np.random.RandomState(0)
+N, L = 40, 3
+scores = rng.rand(N, L)
+targets = rng.randint(0, L, size=N)
+texts = ["hello world", "speech lid", "quick brown fox", "jumps over"]
+hyps = ["hello word", "speech lid", "quick crown fox", "jump over"]
+# UNEVEN shard split: proc 0 gets 24 trials, proc 1 gets 16
+cut = 24
+sl = slice(0, cut) if pid == 0 else slice(cut, N)
+tsl = slice(0, 3) if pid == 0 else slice(3, 4)
+
+eer, cavg, acc, cer = EER(L), CAvg(L), Accuracy(), CharErrorRate()
+eer.update(scores[sl], targets[sl])
+cavg.update(scores[sl], targets[sl])
+acc.update(scores[sl], targets[sl])
+cer.update(hyps[tsl], texts[tsl])
+for m in (eer, cavg, acc, cer):
+    m.sync()
+print(f"RESULT {pid} {eer.compute():.12f} {cavg.compute():.4f} "
+      f"{acc.compute():.12f} {cer.compute():.12f}", flush=True)
+'''
+
+
+class TestMultiProcessMetricSync:
+    def test_two_process_metric_state_equals_single_process(self, tmp_path):
+        """VERDICT-r2 item 4 (reference lid/eer.py:47-48,74
+        dist_reduce_fx="cat"): two processes each score an UNEVEN shard of
+        a synthetic trial set; after ``sync()`` every process's
+        EER/CAvg/accuracy/CER must equal the single-process values on the
+        full set exactly."""
+        import socket
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from speechlid_tpu.metrics import Accuracy, CAvg, CharErrorRate, EER
+
+        worker = tmp_path / "metric_worker.py"
+        worker.write_text(_METRIC_WORKER_SRC)
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                env.get("PYTHONPATH", ""),
+            ) if p and "axon" not in p
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), "2", str(port)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=240) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err[-2000:]
+        results = [
+            ln for out, _ in outs for ln in out.splitlines()
+            if ln.startswith("RESULT")
+        ]
+        assert len(results) == 2
+
+        # single-process ground truth on the full set (same synthetic data)
+        rng = np.random.RandomState(0)
+        N, L = 40, 3
+        scores = rng.rand(N, L)
+        targets = rng.randint(0, L, size=N)
+        texts = ["hello world", "speech lid", "quick brown fox", "jumps over"]
+        hyps = ["hello word", "speech lid", "quick crown fox", "jump over"]
+        eer, cavg, acc, cer = EER(L), CAvg(L), Accuracy(), CharErrorRate()
+        eer.update(scores, targets)
+        cavg.update(scores, targets)
+        acc.update(scores, targets)
+        cer.update(hyps, texts)
+        expect = (
+            f"{eer.compute():.12f} {cavg.compute():.4f} "
+            f"{acc.compute():.12f} {cer.compute():.12f}"
+        )
+        for ln in results:
+            assert ln.split(None, 2)[2] == expect
+
+
 class TestPrepareText:
     def test_prepares_splits_and_vocab(self, tmp_path):
         from speechlid_tpu.cli.prepare_text import main
