@@ -275,11 +275,13 @@ class ProbingKenLM : public NgramModelBase {
     std::memcpy(&multiplier, data_.data() + kSanity + 4, 4);
     std::memcpy(&model_type, data_.data() + kSanity + 8, 4);
     if (model_type != 0) {  // 0=PROBING; 1=REST_PROBING; 2..5 trie family
+      if (model_type >= 2 && model_type <= 5)
+        return false;  // trie family: handled by TrieKenLM
       if (error)
         *error = "unsupported KenLM binary type " +
                  std::to_string(model_type) +
-                 " (only default 'probing' is supported; rebuild with "
-                 "build_binary probing, or use the text ARPA)";
+                 " (probing and the trie family are supported; rebuild "
+                 "with build_binary, or use the text ARPA)";
       return false;
     }
     order_ = order;
@@ -452,6 +454,371 @@ class ProbingKenLM : public NgramModelBase {
   std::vector<Table> middle_;
   const char* longest_ = nullptr;
   uint64_t longest_buckets_ = 0;
+};
+
+// ---------------------------------------------------------------------------
+// KenLM binary (trie family) read-only model — model types 2..5:
+// TRIE, QUANT_TRIE (-q), ARRAY_TRIE (-a), QUANT_ARRAY_TRIE (-q -a).
+// Layout re-derived from the published format (reverse trie of bit-packed
+// sorted arrays; sorted-hash vocabulary; optional Federico-Bertoldi bin
+// quantization of prob/backoff; optional Bhiksha-Raj compressed next
+// pointers).  Parity vs the upstream query tool is pinned by
+// tests/data/tiny_trie.klm / tiny_qtrie.klm / tiny_atrie.klm /
+// tiny_qatrie.klm golden scores (the reference loads such artifacts via
+// kenlm.Model, lid/test.py:58-60).
+// ---------------------------------------------------------------------------
+
+inline uint8_t RequiredBits(uint64_t max_value) {
+  if (!max_value) return 0;
+  uint8_t ret = 1;
+  while (max_value >>= 1) ++ret;
+  return ret;
+}
+
+class TrieKenLM : public NgramModelBase {
+ public:
+  bool Load(const std::string& path, std::string* error) {
+    std::ifstream f(path, std::ios::binary);
+    if (!f.is_open()) return false;
+    std::vector<char> raw((std::istreambuf_iterator<char>(f)),
+                          std::istreambuf_iterator<char>());
+    // 8-byte aligned backing store (bit-packed reads load whole uint64s)
+    data_.assign((raw.size() + 15) / 8, 0);
+    std::memcpy(data_.data(), raw.data(), raw.size());
+    const char* d = base();
+    const size_t size = raw.size();
+    static const char kMagic[] =
+        "mmap lm http://kheafield.com/code format version 5\n";
+    if (size < 128 || std::memcmp(d, kMagic, sizeof(kMagic) - 1) != 0)
+      return false;
+    const size_t kSanity = 88, kFixed = 20;
+    unsigned char order = d[kSanity];
+    int32_t model_type;
+    std::memcpy(&model_type, d + kSanity + 8, 4);
+    if (model_type < 2 || model_type > 5) return false;  // not trie family
+    quant_ = (model_type - 2) & 1;
+    bhiksha_ = ((model_type - 2) & 2) != 0;
+    order_ = order;
+    counts_.resize(order_);
+    std::memcpy(counts_.data(), d + kSanity + kFixed, 8 * order_);
+    size_t off = Align8(kSanity + kFixed + 8 * order_);
+
+    // sorted-hash vocabulary: uint64 count then that many sorted
+    // murmur64a(word) hashes; id = index+1 (<unk> = 0, not stored)
+    std::memcpy(&vocab_count_, d + off, 8);
+    vocab_hashes_ = reinterpret_cast<const uint64_t*>(d + off + 8);
+    // region reserved for counts_[0] hashes regardless of <unk> presence
+    off += 8 + 8 * counts_[0];
+
+    // quantization tables (-q): 8-byte header {version, prob_bits,
+    // backoff_bits}, then per middle order a prob table (2^p floats) and
+    // a backoff table (2^b floats), then the longest-order prob table
+    if (quant_) {
+      uint8_t version = static_cast<uint8_t>(d[off]);
+      prob_bits_ = static_cast<uint8_t>(d[off + 1]);
+      backoff_bits_ = static_cast<uint8_t>(d[off + 2]);
+      if (version != 2) {
+        if (error)
+          *error = "unsupported KenLM quantization version " +
+                   std::to_string(version);
+        return false;
+      }
+      const float* t = reinterpret_cast<const float*>(d + off + 8);
+      for (int m = 0; m < order_ - 2; ++m) {
+        mid_prob_table_.push_back(t);
+        t += uint64_t(1) << prob_bits_;
+        mid_backoff_table_.push_back(t);
+        t += uint64_t(1) << backoff_bits_;
+      }
+      longest_table_ = t;
+      off += 8 + 4 * ((order_ - 2) *
+                      ((uint64_t(1) << prob_bits_) +
+                       (uint64_t(1) << backoff_bits_)) +
+                      (uint64_t(1) << prob_bits_));
+    }
+
+    // unigrams: (counts[0]+2) × {float prob, float backoff, uint64 next}
+    unigram_ = d + off;
+    off += (counts_[0] + 2) * 16;
+
+    // middle orders n = 2..order-1: [bhiksha offsets][bit-packed entries]
+    const uint8_t word_bits = RequiredBits(counts_[0]);
+    for (int n = 2; n < order_; ++n) {
+      Middle mid;
+      mid.entries = counts_[n - 1];
+      const uint64_t max_next = counts_[n];
+      const uint8_t quant_bits = quant_ ? prob_bits_ + backoff_bits_ : 63;
+      if (bhiksha_) {
+        uint8_t bversion = static_cast<uint8_t>(d[off]);
+        uint8_t configured_bits = static_cast<uint8_t>(d[off + 1]);
+        if (bversion != 0) {
+          if (error)
+            *error = "unsupported KenLM bhiksha version " +
+                     std::to_string(bversion);
+          return false;
+        }
+        const uint64_t max_offset = mid.entries + 1;
+        const uint8_t chop = ChopBits(max_offset, max_next, configured_bits);
+        mid.next_bits = RequiredBits(max_next) - chop;
+        const uint64_t array_count =
+            (max_next >> (RequiredBits(max_next) - chop)) + 1;
+        const size_t bhiksha_size = 8 * (1 + array_count) + 7;
+        mid.offsets = reinterpret_cast<const uint64_t*>(
+                          d + Align8(off)) + 1;  // skip 8-byte header
+        mid.n_offsets = array_count;
+        off += bhiksha_size;
+      } else {
+        mid.next_bits = RequiredBits(max_next);
+      }
+      mid.word_bits = word_bits;
+      mid.quant_bits = quant_bits;
+      mid.total_bits = word_bits + quant_bits + mid.next_bits;
+      mid.bits = reinterpret_cast<const uint8_t*>(d + off);
+      off += ((1 + mid.entries) * mid.total_bits + 7) / 8 + 8;
+      middle_.push_back(mid);
+    }
+
+    // longest order: word + prob (raw 31-bit or quantized index)
+    longest_quant_bits_ = quant_ ? prob_bits_ : 31;
+    longest_total_bits_ = word_bits + longest_quant_bits_;
+    longest_word_bits_ = word_bits;
+    longest_bits_ = reinterpret_cast<const uint8_t*>(d + off);
+    off += ((1 + counts_[order_ - 1]) * longest_total_bits_ + 7) / 8 + 8;
+    if (off > size + 8) {  // +8: trailing guard bytes may exceed file len
+      if (error) *error = "KenLM trie binary truncated";
+      return false;
+    }
+    return true;
+  }
+
+  int order() const override { return order_; }
+
+  double WordScore(const std::vector<std::string>& context,
+                   const std::string& word) const override {
+    std::vector<uint32_t> ctx;
+    size_t keep =
+        std::min(context.size(), static_cast<size_t>(order_ - 1));
+    for (size_t i = context.size() - keep; i < context.size(); ++i)
+      ctx.push_back(WordId(context[i]));
+    const uint32_t wid = WordId(word);
+
+    // walk 1: longest match of (ctx suffix + word), reversed extension
+    float prob, backoff;
+    UnigramAt(wid, &prob, &backoff);
+    double best_prob = prob;
+    size_t matched_ctx = 0;  // context words of the longest found n-gram
+    Range range = UnigramRange(wid);
+    for (size_t m = 1; m <= ctx.size(); ++m) {
+      if (range.begin >= range.end) break;
+      const uint32_t cw = ctx[ctx.size() - m];
+      float p;
+      if (m + 1 < static_cast<size_t>(order_)) {
+        if (!FindMiddle(m - 1, cw, &p, &backoff, &range)) break;
+      } else {
+        if (!FindLongest(cw, range, &p)) break;
+        best_prob = p;
+        matched_ctx = m;
+        break;
+      }
+      best_prob = p;
+      matched_ctx = m;
+    }
+
+    // walk 2: backoff weights of context suffixes longer than the match
+    double total = best_prob;
+    if (matched_ctx < ctx.size() && !ctx.empty()) {
+      float bo;
+      UnigramAt(ctx.back(), &prob, &bo);
+      if (matched_ctx < 1) total += bo;
+      Range brange = UnigramRange(ctx.back());
+      for (size_t m = 2; m <= ctx.size(); ++m) {
+        if (brange.begin >= brange.end) break;
+        const uint32_t cw = ctx[ctx.size() - m];
+        float p;
+        if (!FindMiddle(m - 2, cw, &p, &bo, &brange)) break;
+        if (matched_ctx < m) total += bo;
+      }
+    }
+    return total;
+  }
+
+ private:
+  struct Range {
+    uint64_t begin, end;
+  };
+  struct Middle {
+    const uint8_t* bits = nullptr;
+    const uint64_t* offsets = nullptr;  // bhiksha chopped high bits
+    uint64_t n_offsets = 0;
+    uint64_t entries = 0;
+    uint8_t word_bits = 0, quant_bits = 0, next_bits = 0, total_bits = 0;
+  };
+
+  const char* base() const {
+    return reinterpret_cast<const char*>(data_.data());
+  }
+  static size_t Align8(size_t x) { return (x + 7) / 8 * 8; }
+
+  // argmin over chopped high bits of the next-pointer (Bhiksha-Raj):
+  // table cost vs inline-bit savings, replicated from the format's sizing
+  static uint8_t ChopBits(uint64_t max_offset, uint64_t max_next,
+                          uint8_t configured_bits) {
+    const uint8_t required = RequiredBits(max_next);
+    uint8_t best_chop = 0;
+    int64_t lowest = std::numeric_limits<int64_t>::max();
+    for (uint8_t chop = 0;
+         chop <= std::min(required, configured_bits); ++chop) {
+      int64_t change =
+          static_cast<int64_t>(max_next >> (required - chop)) * 64 -
+          static_cast<int64_t>(max_offset) * chop;
+      if (change < lowest) {
+        lowest = change;
+        best_chop = chop;
+      }
+    }
+    return best_chop;
+  }
+
+  // little-endian bit-packed reads (64-bit window, buffer is padded)
+  static uint64_t ReadBits(const uint8_t* b, uint64_t bit_off,
+                           uint8_t length) {
+    uint64_t window;
+    std::memcpy(&window, b + (bit_off >> 3), 8);
+    const uint64_t mask =
+        length >= 64 ? ~uint64_t(0) : ((uint64_t(1) << length) - 1);
+    return (window >> (bit_off & 7)) & mask;
+  }
+  static float ReadFloat32At(const uint8_t* b, uint64_t bit_off) {
+    uint32_t u = static_cast<uint32_t>(ReadBits(b, bit_off, 32));
+    float f;
+    std::memcpy(&f, &u, 4);
+    return f;
+  }
+  static float ReadNonPositiveFloat31(const uint8_t* b, uint64_t bit_off) {
+    uint32_t u = static_cast<uint32_t>(ReadBits(b, bit_off, 31));
+    u |= 0x80000000u;  // sign bit implicit: log-probs are <= 0
+    float f;
+    std::memcpy(&f, &u, 4);
+    return f;
+  }
+
+  uint32_t WordId(const std::string& w) const {
+    const uint64_t h = Murmur64A(w.data(), w.size());
+    const uint64_t* lo = vocab_hashes_;
+    const uint64_t* hi = vocab_hashes_ + vocab_count_;
+    const uint64_t* it = std::lower_bound(lo, hi, h);
+    if (it != hi && *it == h)
+      return static_cast<uint32_t>(it - lo) + 1;  // +1: <unk> is 0
+    return 0;
+  }
+
+  void UnigramAt(uint32_t id, float* prob, float* backoff) const {
+    const char* e = unigram_ + static_cast<size_t>(id) * 16;
+    std::memcpy(prob, e, 4);
+    std::memcpy(backoff, e + 4, 4);
+  }
+  Range UnigramRange(uint32_t id) const {
+    Range r;
+    std::memcpy(&r.begin, unigram_ + static_cast<size_t>(id) * 16 + 8, 8);
+    std::memcpy(&r.end,
+                unigram_ + (static_cast<size_t>(id) + 1) * 16 + 8, 8);
+    return r;
+  }
+
+  // binary search for `word` among entries [range.begin, range.end) of a
+  // bit-packed array whose word ids are sorted ascending
+  static bool FindEntry(const uint8_t* bits, uint8_t total_bits,
+                        uint8_t word_bits, Range range, uint32_t word,
+                        uint64_t* at) {
+    uint64_t lo = range.begin, hi = range.end;
+    while (lo < hi) {
+      const uint64_t mid = lo + (hi - lo) / 2;
+      const uint64_t w = ReadBits(bits, mid * total_bits, word_bits);
+      if (w == word) {
+        *at = mid;
+        return true;
+      }
+      if (w < word)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    return false;
+  }
+
+  // next-pointer range of entry `idx` (inline bits, bhiksha-extended)
+  Range NextRange(const Middle& m, uint64_t idx) const {
+    const uint64_t field = idx * m.total_bits + m.word_bits + m.quant_bits;
+    Range r;
+    const uint64_t lo_begin = ReadBits(m.bits, field, m.next_bits);
+    const uint64_t lo_end =
+        ReadBits(m.bits, field + m.total_bits, m.next_bits);
+    if (!m.offsets) {
+      r.begin = lo_begin;
+      r.end = lo_end;
+      return r;
+    }
+    const uint64_t* ob = m.offsets;
+    const uint64_t* oe = m.offsets + m.n_offsets;
+    const uint64_t* begin_it = std::upper_bound(ob, oe, idx) - 1;
+    const uint64_t* end_it;
+    for (end_it = begin_it + 1; end_it < oe && *end_it <= idx + 1; ++end_it) {
+    }
+    --end_it;
+    r.begin = (static_cast<uint64_t>(begin_it - ob) << m.next_bits) | lo_begin;
+    r.end = (static_cast<uint64_t>(end_it - ob) << m.next_bits) | lo_end;
+    return r;
+  }
+
+  // find `word` in middle table m (order m+2); updates *range to children
+  bool FindMiddle(size_t mi, uint32_t word, float* prob, float* backoff,
+                  Range* range) const {
+    const Middle& m = middle_[mi];
+    uint64_t idx;
+    if (!FindEntry(m.bits, m.total_bits, m.word_bits, *range, word, &idx))
+      return false;
+    const uint64_t voff = idx * m.total_bits + m.word_bits;
+    if (quant_) {
+      const uint64_t bo_idx = ReadBits(m.bits, voff, backoff_bits_);
+      const uint64_t p_idx =
+          ReadBits(m.bits, voff + backoff_bits_, prob_bits_);
+      *prob = mid_prob_table_[mi][p_idx];
+      *backoff = mid_backoff_table_[mi][bo_idx];
+    } else {
+      *prob = ReadNonPositiveFloat31(m.bits, voff);
+      *backoff = ReadFloat32At(m.bits, voff + 31);
+    }
+    *range = NextRange(m, idx);
+    return true;
+  }
+
+  bool FindLongest(uint32_t word, Range range, float* prob) const {
+    uint64_t idx;
+    if (!FindEntry(longest_bits_, longest_total_bits_, longest_word_bits_,
+                   range, word, &idx))
+      return false;
+    const uint64_t voff = idx * longest_total_bits_ + longest_word_bits_;
+    if (quant_)
+      *prob = longest_table_[ReadBits(longest_bits_, voff, prob_bits_)];
+    else
+      *prob = ReadNonPositiveFloat31(longest_bits_, voff);
+    return true;
+  }
+
+  std::vector<uint64_t> data_;  // uint64 for 8-byte alignment
+  int order_ = 0;
+  bool quant_ = false, bhiksha_ = false;
+  uint8_t prob_bits_ = 0, backoff_bits_ = 0;
+  std::vector<uint64_t> counts_;
+  uint64_t vocab_count_ = 0;
+  const uint64_t* vocab_hashes_ = nullptr;
+  const char* unigram_ = nullptr;
+  std::vector<Middle> middle_;
+  std::vector<const float*> mid_prob_table_, mid_backoff_table_;
+  const float* longest_table_ = nullptr;
+  const uint8_t* longest_bits_ = nullptr;
+  uint8_t longest_word_bits_ = 0, longest_quant_bits_ = 0,
+          longest_total_bits_ = 0;
 };
 
 // ---------------------------------------------------------------------------
@@ -635,6 +1002,15 @@ void* ngram_load(const char* path) {
     std::string err;
     if (bin->Load(path, &err)) return bin.release();
     if (!err.empty()) {  // recognized binary but unsupported/corrupt
+      g_ngram_error = err;
+      return nullptr;
+    }
+  }
+  {
+    auto trie = std::make_unique<TrieKenLM>();
+    std::string err;
+    if (trie->Load(path, &err)) return trie.release();
+    if (!err.empty()) {
       g_ngram_error = err;
       return nullptr;
     }

@@ -88,11 +88,11 @@ class NgramLM:
     """n-gram language model (KenLM Model API subset:
     ``score``/``perplexity``).
 
-    Accepts either a text ARPA file or a **KenLM binary** model in the
-    default 'probing' format (``.bin``/``.klm`` built by ``build_binary``)
+    Accepts a text ARPA file or a **KenLM binary** model — both the
+    default 'probing' format and the full trie family (``trie``, ``-q``
+    quantized, ``-a`` bhiksha-array, ``-q -a``) built by ``build_binary``
     — the artifacts the reference loads via ``kenlm.Model``
-    (lid/lm_decoder.py:23-62, lid/test.py:58-60).  Trie-format binaries
-    are rejected with an explanatory error.
+    (lid/lm_decoder.py:23-62, lid/test.py:58-60).
     """
 
     def __init__(self, arpa_path: str):
@@ -104,7 +104,7 @@ class NgramLM:
         if not self._handle:
             detail = (lib.ngram_last_error() or b"").decode()
             raise FileNotFoundError(
-                f"failed to load LM (ARPA text or KenLM probing binary): "
+                f"failed to load LM (ARPA text or KenLM binary): "
                 f"{arpa_path}" + (f" — {detail}" if detail else "")
             )
 
