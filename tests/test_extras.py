@@ -1,6 +1,8 @@
 """Secondary-task tests: mnist-style classification (sklearn digits), LSTM
 LM with PPL/BPC, RML IQ classification with SNR aux loss, spec forecasting."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -110,7 +112,10 @@ class TestRML:
             for i in range(0, n, 32)
         ]
 
-    @pytest.mark.parametrize("use_snr,use_rnn", [(False, False), (True, True)])
+    @pytest.mark.parametrize("use_snr,use_rnn", [
+        (False, False),
+        pytest.param(True, True, marks=pytest.mark.slow),
+    ])
     def test_trains(self, use_snr, use_rnn):
         data = self._data()
         task = RMLTask(n_classes=4, base_filters=16, kernel_size=8,
@@ -128,8 +133,13 @@ class TestSpecPred:
         freqs = np.linspace(0.01, 0.05, d)[None, :]
         return np.sin(2 * np.pi * freqs * ts).astype(np.float32)
 
-    @pytest.mark.parametrize("model", ["mlp", "lstm", "causal_conv",
-                                       "cnn_lstm", "transformer"])
+    @pytest.mark.parametrize("model", [
+        "mlp",
+        pytest.param("lstm", marks=pytest.mark.slow),
+        "causal_conv",
+        pytest.param("cnn_lstm", marks=pytest.mark.slow),
+        pytest.param("transformer", marks=pytest.mark.slow),
+    ])
     def test_forecast_models_learn(self, model):
         series = self._series()
         x, y, mean, std = sliding_windows(series, win_len=16)
@@ -157,3 +167,57 @@ class TestSpecPred:
         out = task.infer(variables, x[:2], pred_len=5)
         assert out.shape == (2, 5, 8)
         assert np.isfinite(out).all()
+
+
+class TestPrepareSpectrum:
+    """Raw-corpus utilities (reference spec_pred/data/convert.py and
+    spec_pred/gen_raw_graph.py analogs)."""
+
+    def _jsonl(self, tmp_path, t=30, d=6):
+        import json
+
+        rng = np.random.RandomState(0)
+        p = tmp_path / "raw.jsonl"
+        with open(p, "w") as f:
+            for i in range(t):
+                f.write(json.dumps({
+                    "data": (100 * rng.rand(d)).astype(int).tolist(),
+                    "date": f"2021-01-{i % 28 + 1:02d}",
+                }) + "\n")
+        return str(p)
+
+    def test_convert_packs_series_and_dates(self, tmp_path):
+        import json
+
+        from speechlid_tpu.cli.prepare_spectrum import convert
+
+        out = str(tmp_path / "data.npy")
+        arr = convert(self._jsonl(tmp_path), out)
+        assert arr.shape == (30, 6) and arr.dtype == np.int16
+        loaded = np.load(out)
+        np.testing.assert_array_equal(loaded, arr)
+        dates = json.load(open(str(tmp_path / "data.dates.json")))
+        assert len(dates) == 30 and dates[0] == "2021-01-01"
+        # the packed series feeds straight into the training windowing
+        from speechlid_tpu.tasks.extras import sliding_windows
+
+        x, y, mean, std = sliding_windows(loaded.astype(np.float32),
+                                          win_len=8)
+        assert x.shape[1:] == (8, 6) and np.isfinite(x).all()
+
+    def test_denoise_floors_below_threshold(self):
+        from speechlid_tpu.cli.prepare_spectrum import denoise
+
+        seg = np.array([[0.0, 100.0], [200.0, 50.0]])
+        out = denoise(seg, threshold_db=80.0)  # mean 87.5 → keep >= 167.5
+        assert out[1, 0] == 200.0
+        assert (out[out != 200.0] == 0.0).all()
+
+    def test_plot_writes_segment_pngs(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from speechlid_tpu.cli.prepare_spectrum import convert, plot
+
+        out = str(tmp_path / "data.npy")
+        convert(self._jsonl(tmp_path), out)
+        pngs = plot(out, str(tmp_path / "img"), interval=10, limit=2)
+        assert len(pngs) == 2 and all(os.path.getsize(p) > 0 for p in pngs)
