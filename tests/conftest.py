@@ -28,3 +28,43 @@ if not os.environ.get("SPEECHLID_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
     assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent XLA compilation cache: the suite's wall time on this 1-CPU box
+# is dominated by compiles of stable tiny graphs, so warm reruns (the
+# iteration gate) drop far below the cold time.  Keyed by backend+config —
+# safe to share the production cache dir.
+from speechlid_tpu.core.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+
+# ---------------------------------------------------------------------------
+# slow-test gate: heavyweight compile/e2e tests are skipped by default so the
+# suite stays a usable iteration gate on this 1-CPU box; `--runslow` is the
+# full gate (zero coverage loss).  Every component keeps at least one fast
+# representative in the default run.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the full gate)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight compile/e2e test, run with --runslow"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -59,15 +59,16 @@ def setup(tmp_path_factory):
         n_blocks=1, encoder_dim=32, heads=2, dim_head=16, sub_sampling=4,
         head_dim_head=8, head_num_head=4, lr=1e-3, schedule=None,
     )
-    from speechlid_tpu.core import Trainer
+    import jax
 
     feeder = BucketFeeder(
         ds, MultiBatchSampler(ds, 4, seed=0), buckets_s=(0.5,),
         max_text_len=16,
     )
-    tr = Trainer(total_epoch=1, use_progress_bar=False)
-    tr.fit(task, feeder, None)
-    variables = {"params": tr.state.params, **(tr.state.model_state or {})}
+    # eval only needs INITIALIZED variables — skip the train-step
+    # backward compile (was ~80 s of fixture setup on this box)
+    sample_batch = next(iter(feeder))
+    variables = task.init_variables(jax.random.PRNGKey(0), sample_batch)
 
     def feeder_factory(arrays_only=False):
         return BucketFeeder(

@@ -77,6 +77,7 @@ class TestSlidingPrimitives:
 
 
 class TestFaSNetTAC:
+    @pytest.mark.slow
     def test_forward_shapes_jit_grad(self):
         rng = np.random.RandomState(0)
         model = _tiny_fasnet()
@@ -95,6 +96,7 @@ class TestFaSNetTAC:
         )
         assert np.isfinite(gnorm) and gnorm > 0
 
+    @pytest.mark.slow
     def test_nspk_separation_heads(self):
         rng = np.random.RandomState(1)
         model = _tiny_fasnet(nspk=2)
@@ -103,6 +105,7 @@ class TestFaSNetTAC:
         out = model.apply(params, wav)
         assert out.shape == (1, 2, 4000)
 
+    @pytest.mark.slow
     def test_num_mic_masking(self):
         """num_mic == nmic must equal the fixed-geometry (None) path; fewer
         valid mics must change the output (reference valid-channel
@@ -177,6 +180,7 @@ class TestFaSNetOrigin:
         conf.update(kw)
         return FaSNetOrigin(**conf)
 
+    @pytest.mark.slow
     def test_forward_and_grad(self):
         rng = np.random.RandomState(0)
         model = self._tiny()
@@ -200,6 +204,7 @@ class TestFaSNetOrigin:
         assert "encoder" in params and "enc_norm" in params
         assert "ref_bf" in params and "other_bf" in params
 
+    @pytest.mark.slow
     def test_num_mic_masking(self):
         rng = np.random.RandomState(2)
         model = self._tiny()

@@ -199,6 +199,7 @@ class TestResNet:
 
 
 class TestConformerRemat:
+    @pytest.mark.slow
     def test_remat_parity_fwd_and_grad(self):
         """remat=True must be numerically identical (it only changes the
         backward-pass schedule) — the stable axon-TPU train config."""

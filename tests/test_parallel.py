@@ -70,6 +70,7 @@ class TestTPShardings:
             np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4
         )
 
+    @pytest.mark.slow
     def test_sharded_grads_match(self, setup):
         mesh, model, variables, x, lengths = setup
         labels = jnp.asarray(

@@ -28,6 +28,7 @@ class TestSiSnr:
 
 
 class TestSETask:
+    @pytest.mark.slow
     def test_training_improves_si_snr(self):
         rng = np.random.RandomState(0)
         t = np.arange(4000) / 16000
@@ -66,6 +67,7 @@ class TestASRTask:
             "langs": np.zeros(2, np.int32),
         }
 
+    @pytest.mark.slow
     def test_single_language_ctc(self):
         vocab = [" "] + list("abcdefg")
         task = ASRTask(vocab=vocab, n_blocks=1, encoder_dim=32, heads=2,

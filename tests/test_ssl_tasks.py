@@ -81,7 +81,10 @@ class TestSSLJointTask:
             lr=1e-3, schedule=None,
         )
 
-    @pytest.mark.parametrize("featurizer", ["wavlm", "wav2vec2"])
+    @pytest.mark.parametrize("featurizer", [
+        "wavlm",
+        pytest.param("wav2vec2", marks=pytest.mark.slow),
+    ])
     def test_train_and_val_steps(self, featurizer):
         from speechlid_tpu.core import Trainer
 
@@ -100,6 +103,7 @@ class TestSSLJointTask:
         assert np.isfinite(m["avg_val_loss"])
         assert "eer" in m
 
+    @pytest.mark.slow
     def test_ssl_freeze_transformer(self):
         from speechlid_tpu.core import Trainer
 

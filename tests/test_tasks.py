@@ -89,6 +89,7 @@ class TestLidASRTask:
         assert np.isfinite(m["avg_val_loss"])
         assert 0 <= m["eer"] <= 1 and 0 <= m["cavg"] <= 1
 
+    @pytest.mark.slow
     def test_loss_decreases(self, corpus):
         ds, toks, lang2index, lang2vocab = corpus
         task = LidASRTask(
@@ -110,6 +111,7 @@ class TestLidASRTask:
         tr.fit(task, _feeder(ds), None)
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow
     def test_freeze_featurizer(self, corpus):
         import jax
 
