@@ -78,6 +78,31 @@ class TestConformer:
             y1[:, :interior], y2[:, :interior], rtol=1e-4, atol=1e-4
         )
 
+    def test_conv_barrier_parity(self):
+        """`conv_barrier` must be numerically a no-op: it only inserts
+        `lax.optimization_barrier` fences around the depthwise conv to stop
+        the axon-TPU backend from fusing a bf16 grouped conv with its
+        elementwise neighbors (a compile-hang, bisected in
+        docs/runs/bf16_convmod_bisect.py)."""
+        from speechlid_tpu.models.conformer import ConformerConvModule
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 50, 64), jnp.float32)
+        base = ConformerConvModule(dim=64, conv_barrier=False)
+        params = base.init(_keys(), x)
+        ref = np.asarray(base.apply(params, x))
+        fenced = ConformerConvModule(dim=64, conv_barrier=True)
+        np.testing.assert_array_equal(np.asarray(fenced.apply(params, x)), ref)
+        # bf16 auto-default turns the barrier on; explicit off must match it
+        for flag in (None, True, False):
+            m = ConformerConvModule(dim=64, dtype=jnp.bfloat16,
+                                    conv_barrier=flag)
+            out = np.asarray(m.apply(params, x.astype(jnp.bfloat16)))
+            if flag is None:
+                auto = out
+            else:
+                np.testing.assert_array_equal(out, auto)
+
     def test_stochastic_depth_changes_with_key(self):
         m = ConformerModel(n_blocks=4, encoder_dim=32, heads=2, dim_head=16,
                            stochastic_depth_p=0.3)
