@@ -7,6 +7,13 @@ from speechlid_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from speechlid_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_bubble_fraction,
+    shard_time,
+    split_microbatches,
+    stack_stage_params,
+)
 from speechlid_tpu.parallel.sharding import (
     CONFORMER_TP_RULES,
     EP_RULES,
