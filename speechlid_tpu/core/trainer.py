@@ -70,6 +70,7 @@ class Trainer:
         loggers: Optional[Logger] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         data_axis: str = "data",
+        param_rules: Optional[Sequence] = None,  # (regex, PartitionSpec)
         checkpoint_path: Optional[str] = None,  # resume source
         use_progress_bar: bool = True,
         log_interval: int = 10,
@@ -88,6 +89,7 @@ class Trainer:
         self.logger = loggers or Logger()
         self.mesh = mesh
         self.data_axis = data_axis
+        self.param_rules = param_rules
         self.checkpoint_path = checkpoint_path
         self.use_progress_bar = use_progress_bar
         self.log_interval = log_interval
@@ -257,8 +259,20 @@ class Trainer:
 
     # ----------------------------------------------------------- distribution
     def _place_state(self) -> None:
-        """Replicate state across the mesh (data-parallel)."""
+        """Place state across the mesh: data-parallel replication by
+        default; with ``param_rules`` (regex → PartitionSpec, e.g.
+        ``CONFORMER_TP_RULES + EP_RULES``) matching leaves — params AND
+        their optimizer moments, whose tree paths embed the param paths —
+        lay out tensor/expert-parallel on the 'model' axis, the rest
+        replicate."""
         if self.mesh is None:
+            return
+        if self.param_rules:
+            from speechlid_tpu.parallel.sharding import make_param_sharder
+
+            self.state = make_param_sharder(self.mesh, self.param_rules)(
+                self.state
+            )
             return
         from jax.sharding import NamedSharding, PartitionSpec as P
 

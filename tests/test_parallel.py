@@ -138,3 +138,76 @@ class TestWavLMTP:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4
         )
+
+
+class TestTrainerParamRules:
+    @pytest.mark.slow
+    def test_fit_with_tp_ep_rules_matches_dp_only(self):
+        """Trainer(param_rules=...) must train to the same trajectory as
+        plain dp replication — tp/ep is a layout, not a different
+        program."""
+        from speechlid_tpu.core import Trainer
+        from speechlid_tpu.core.module import TaskModule
+        from speechlid_tpu.core.optim import make_optimizer
+        import optax
+
+        feat = ConformerModel(n_blocks=1, encoder_dim=32, heads=2,
+                              dim_head=16, sub_sampling=4,
+                              use_stochastic_depth=False)
+        model = MutiLangModel(featurizer=feat, vocab_sizes=(8, 8),
+                              linear_dim=32, dim_head=8, num_head=4)
+
+        class TinyLidTask(TaskModule):
+            rng_keys = ("dropout", "stochastic_depth", "specaug")
+
+            def __init__(self):
+                super().__init__()
+                self.save_hyper_parameters()
+                self.model = model
+
+            def init_variables(self, rng, batch):
+                mel, lengths, _ = batch
+                return model.init(
+                    {"params": rng, "dropout": rng, "stochastic_depth": rng},
+                    jnp.asarray(mel), jnp.asarray(lengths),
+                    method=MutiLangModel.infer,
+                )
+
+            def config_optim(self):
+                return make_optimizer("adam", lr=3e-3, clip_norm=20.0)
+
+            def train_loop(self, variables, batch, rngs):
+                mel, lengths, langs = batch
+                out = model.apply(variables, mel, lengths, rngs=rngs,
+                                  method=MutiLangModel.infer)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    out["scores"], langs).mean()
+                return loss, {}, {}
+
+            def val_loop(self, variables, batch):
+                mel, lengths, langs = batch
+                out = model.apply(variables, mel, lengths,
+                                  method=MutiLangModel.infer)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    out["scores"], langs).mean()
+                return {"loss": loss}
+
+        rng = np.random.RandomState(0)
+        data = [
+            (rng.randn(8, 41, 80).astype(np.float32),
+             np.full((8,), 41, np.int32),
+             (np.arange(8) % 2).astype(np.int32))
+            for _ in range(4)
+        ]
+
+        def run(**kw):
+            tr = Trainer(total_epoch=2, use_progress_bar=False, seed=3, **kw)
+            tr.fit(TinyLidTask(), data, data)
+            return jax.device_get(tr.state.params)
+
+        dp = run(mesh=make_mesh(data=8, model=1))
+        tp = run(mesh=make_mesh(data=4, model=2),
+                 param_rules=EP_RULES + CONFORMER_TP_RULES)
+        for a, b in zip(jax.tree_util.tree_leaves(dp),
+                        jax.tree_util.tree_leaves(tp)):
+            np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-4)
