@@ -171,11 +171,21 @@ def main(argv: List[str] | None = None) -> None:
         train_interval=conf.trainer.get("log_interval", 10),
     )
 
-    mesh = None
-    if conf.trainer.get("data_parallel", False):
+    # trainer.data_parallel: true  → batch sharded over all devices
+    # trainer.model_parallel: N    → 'model' axis of size N carrying the
+    # tp kernel splits and ep expert-head sharding (parallel/sharding.py)
+    mesh, param_rules = None, None
+    model_parallel = int(conf.trainer.get("model_parallel", 1))
+    if conf.trainer.get("data_parallel", False) or model_parallel > 1:
         from speechlid_tpu.parallel import make_mesh
 
-        mesh = make_mesh()
+        mesh = make_mesh(model=model_parallel)
+        if model_parallel > 1:
+            from speechlid_tpu.parallel import (
+                CONFORMER_TP_RULES, EP_RULES, WAVLM_TP_RULES,
+            )
+
+            param_rules = EP_RULES + CONFORMER_TP_RULES + WAVLM_TP_RULES
 
     trainer = Trainer(
         total_epoch=conf.trainer.get("total_epoch", 10),
@@ -189,6 +199,7 @@ def main(argv: List[str] | None = None) -> None:
         callbacks=callbacks,
         loggers=logger,
         mesh=mesh,
+        param_rules=param_rules,
         checkpoint_path=conf.trainer.get("resume_from") or None,
         use_progress_bar=conf.trainer.get("progress_bar", True),
     )
