@@ -131,6 +131,13 @@ class ConformerConvModule(nn.Module):
     dropout: float = 0.0
     use_double_swish: bool = False
     dtype: Dtype = jnp.float32
+    # Fence the depthwise grouped conv off from its elementwise
+    # producers/consumers with ``lax.optimization_barrier``: the axon-TPU
+    # XLA backend never finishes compiling a bf16 grouped conv once GLU/BN
+    # fuse into it (bisected in docs/runs/bf16_convmod_bisect.py — every
+    # piece passes alone, any fused pair hangs).  None = auto: barrier
+    # exactly when running in bf16, a no-op numerically either way.
+    conv_barrier: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -141,6 +148,10 @@ class ConformerConvModule(nn.Module):
     ) -> jax.Array:
         act = double_swish if self.use_double_swish else swish
         inner = self.dim * self.expansion_factor
+        barrier = self.conv_barrier
+        if barrier is None:
+            barrier = jnp.dtype(self.dtype) == jnp.dtype(jnp.bfloat16)
+        fence = jax.lax.optimization_barrier if barrier else (lambda y: y)
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(2 * inner, dtype=self.dtype)(y)  # pointwise conv1x1
         a, g = jnp.split(y, 2, axis=-1)
@@ -155,7 +166,8 @@ class ConformerConvModule(nn.Module):
             feature_group_count=inner,
             dtype=self.dtype,
             name="depthwise",
-        )(y)
+        )(fence(y))
+        y = fence(y)
         y = nn.BatchNorm(
             use_running_average=deterministic, dtype=self.dtype, name="bn"
         )(y)
@@ -228,6 +240,35 @@ class Conv1dSubSampling2(nn.Module):
         return (lengths - 1) // 2 + 1
 
 
+class _BlockStep(nn.Module):
+    """One nn.scan step of the block stack: ConformerBlock + linear
+    stochastic depth keyed by the (traced) block index.  Scanned with
+    ``variable_axes={'params': 0}`` so per-block params stack on a leading
+    layer axis — O(1)-in-depth compiles and the layout
+    ``parallel.pipeline.pipeline_apply`` stages directly."""
+
+    block_conf: dict
+    n_blocks: int
+    stochastic_depth_p: float
+    use_stochastic_depth: bool
+
+    @nn.compact
+    def __call__(self, carry, idx, mask, deterministic):
+        x = carry
+        y = ConformerBlock(**self.block_conf)(x, mask, deterministic)
+        if self.use_stochastic_depth and not deterministic:
+            # survival p_i = 1 - ((i+1)/N)(1 - p); same whole-batch
+            # keep/skip-via-where scheme as the unrolled path
+            p_i = 1.0 - ((idx + 1.0) / self.n_blocks) * (
+                1.0 - self.stochastic_depth_p
+            )
+            keep = jax.random.bernoulli(
+                self.make_rng("stochastic_depth"), p_i
+            )
+            y = jnp.where(keep, y, x)
+        return y, None
+
+
 class Conv2dSubsampling(nn.Module):
     """ESPnet 2D ×4 subsampling: two conv k3 s2 (VALID) over (T, mel) then
     Linear (conformer.py:351-394)."""
@@ -280,6 +321,13 @@ class ConformerModel(nn.Module):
     # also the stable configuration for the experimental axon TPU worker,
     # whose largest fully-fused training graphs can fault (verify SKILL.md)
     remat: bool = False
+    # nn.scan over the block stack: ONE traced/compiled block instead of N
+    # (compile time O(1) in depth — minutes matter on remote-compile TPU
+    # deployments), params stacked on a leading (N, ...) layer axis the
+    # pipeline-parallel runner (parallel/pipeline.py) consumes directly.
+    # Checkpoint param trees differ from the unrolled layout (blocks/ vs
+    # block_i/); numerics are identical (tests/test_models.py).
+    scan_blocks: bool = False
     dtype: Dtype = jnp.float32
 
     def subsampled_lengths(self, lengths: jax.Array) -> jax.Array:
@@ -306,26 +354,51 @@ class ConformerModel(nn.Module):
             sub_len = self.subsampled_lengths(lengths)
             mask = jnp.arange(x.shape[1])[None, :] < sub_len[:, None]
 
+        block_conf = dict(
+            dim=self.encoder_dim,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            ff_mult=self.ff_mult,
+            conv_expansion_factor=self.conv_expansion_factor,
+            conv_kernel_size=self.conv_kernel_size,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            conv_dropout=self.conv_dropout,
+            use_double_swish=self.use_double_swish,
+            dtype=self.dtype,
+        )
+        if self.scan_blocks:
+            step_cls = (
+                nn.remat(_BlockStep, static_argnums=(4,))
+                if self.remat else _BlockStep
+            )
+            scanned = nn.scan(
+                step_cls,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True,
+                            "stochastic_depth": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                length=self.n_blocks,
+            )(
+                block_conf=block_conf,
+                n_blocks=self.n_blocks,
+                stochastic_depth_p=self.stochastic_depth_p,
+                use_stochastic_depth=self.use_stochastic_depth,
+                name="blocks",
+            )
+            x, _ = scanned(
+                x, jnp.arange(self.n_blocks, dtype=jnp.float32), mask,
+                deterministic,
+            )
+            return x  # (B, T', encoder_dim)
+
         block_cls = (
             nn.remat(ConformerBlock, static_argnums=(3,))
             if self.remat
             else ConformerBlock
         )
         for i in range(self.n_blocks):
-            block = block_cls(
-                dim=self.encoder_dim,
-                dim_head=self.dim_head,
-                heads=self.heads,
-                ff_mult=self.ff_mult,
-                conv_expansion_factor=self.conv_expansion_factor,
-                conv_kernel_size=self.conv_kernel_size,
-                attn_dropout=self.attn_dropout,
-                ff_dropout=self.ff_dropout,
-                conv_dropout=self.conv_dropout,
-                use_double_swish=self.use_double_swish,
-                dtype=self.dtype,
-                name=f"block_{i}",
-            )
+            block = block_cls(**block_conf, name=f"block_{i}")
             y = block(x, mask, deterministic)
             if self.use_stochastic_depth and not deterministic:
                 # survival prob p_i = 1 - ((i+1)/N)(1 - p)  (conformer.py:461-465);

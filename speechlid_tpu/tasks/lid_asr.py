@@ -98,6 +98,9 @@ class LidASRTask(TaskModule):
         # rematerialize encoder blocks in the backward pass (stable axon
         # config; ~30% activation-memory saving)
         remat: bool = False,
+        # nn.scan the conformer block stack: O(1)-in-depth compiles on
+        # remote-compile TPU deployments (params stack on a layer axis)
+        scan_blocks: bool = False,
         # compute dtype: 'bfloat16' puts activations/matmuls on the MXU's
         # native precision (the AMP analog — SURVEY.md §2.5 row 'AMP');
         # params and softmax/layernorm accumulations stay f32
@@ -128,6 +131,7 @@ class LidASRTask(TaskModule):
             freeze_featurizer_epoch=freeze_featurizer_epoch,
             freeze_transformer_epoch=freeze_transformer_epoch,
             keep_train_lang=keep_train_lang, dtype=dtype, remat=remat,
+            scan_blocks=scan_blocks,
         )
         self.lang2vocab = lang2vocab
         self.lang2index = lang2index
@@ -165,7 +169,8 @@ class LidASRTask(TaskModule):
             feat_module = ConformerModel(
                 n_blocks=n_blocks, n_mels=n_mels, encoder_dim=encoder_dim,
                 heads=heads, dim_head=dim_head, sub_sampling=sub_sampling,
-                use_double_swish=double_swish, remat=remat, dtype=self.dtype,
+                use_double_swish=double_swish, remat=remat,
+                scan_blocks=scan_blocks, dtype=self.dtype,
             )
         elif featurizer in ("wavlm", "wav2vec2"):
             from speechlid_tpu.models.wav2vec2 import (

@@ -223,6 +223,81 @@ class TestResNet:
         assert eb.shape == (1, 64)
 
 
+class TestConformerScanBlocks:
+    KW = dict(n_blocks=3, encoder_dim=32, heads=2, dim_head=16,
+              sub_sampling=4, use_stochastic_depth=False)
+
+    @staticmethod
+    def _restack(v0, n):
+        """Unrolled block_i params → the nn.scan stacked layout."""
+        import jax.tree_util as jtu
+
+        out = {"params": {
+            k: v for k, v in v0["params"].items() if not k.startswith("block_")
+        }}
+        out["params"]["blocks"] = {"ConformerBlock_0": jtu.tree_map(
+            lambda *ls: jnp.stack(ls),
+            *[v0["params"][f"block_{i}"] for i in range(n)],
+        )}
+        if "batch_stats" in v0:
+            out["batch_stats"] = {"blocks": {"ConformerBlock_0": jtu.tree_map(
+                lambda *ls: jnp.stack(ls),
+                *[v0["batch_stats"][f"block_{i}"] for i in range(n)],
+            )}}
+        return out
+
+    def test_parity_with_unrolled(self):
+        """scan_blocks only changes the param layout (stacked layer axis),
+        never the numbers: applying the unrolled model's weights restacked
+        must reproduce its output."""
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 101, 80), jnp.float32)
+        lens = jnp.asarray([101, 80])
+        m0 = ConformerModel(**self.KW)
+        v0 = m0.init(_keys(), x, lens)
+        y0 = np.asarray(m0.apply(v0, x, lens))
+        m1 = ConformerModel(**self.KW, scan_blocks=True)
+        v1 = self._restack(v0, self.KW["n_blocks"])
+        y1 = np.asarray(m1.apply(v1, x, lens))
+        np.testing.assert_allclose(y1, y0, rtol=2e-5, atol=2e-5)
+
+    def test_train_mode_grads_and_mutation(self):
+        """Training path under scan: stochastic depth rng splits per layer,
+        BatchNorm stats mutate, grads flow to every stacked layer."""
+        kw = dict(self.KW, use_stochastic_depth=True, stochastic_depth_p=0.8)
+        m = ConformerModel(**kw, scan_blocks=True)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 101, 80), jnp.float32)
+        lens = jnp.asarray([101, 101])
+        v = m.init(_keys(), x, lens)
+
+        def loss(p):
+            y, mut = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x, lens,
+                deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1),
+                      "stochastic_depth": jax.random.PRNGKey(2)},
+            )
+            return jnp.mean(y ** 2)
+
+        g = jax.jit(jax.grad(loss))(v["params"])
+        gb = g["blocks"]["ConformerBlock_0"]
+        leaves = jax.tree_util.tree_leaves(gb)
+        assert leaves and all(l.shape[0] == 3 for l in leaves)
+        # every stacked layer received gradient signal
+        per_layer = sum(jnp.sum(jnp.abs(l), axis=tuple(range(1, l.ndim)))
+                        for l in leaves)
+        assert np.all(np.asarray(per_layer) > 0)
+
+    def test_remat_composes(self):
+        m = ConformerModel(**self.KW, scan_blocks=True, remat=True)
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 41, 80), jnp.float32)
+        v = m.init(_keys(), x, jnp.asarray([41]))
+        y = m.apply(v, x, jnp.asarray([41]))
+        assert np.isfinite(np.asarray(y)).all()
+
+
 class TestConformerRemat:
     @pytest.mark.slow
     def test_remat_parity_fwd_and_grad(self):
