@@ -252,6 +252,30 @@ def build_lid_fn(args):
     return (lambda w, l: infer(restored, w, l)), index2lang
 
 
+def build_se_fn(se_ckpt: str):
+    """Restore an SE checkpoint (any SETask model_type) into a
+    per-utterance (T,)→(T,) enhance hook."""
+    import jax
+    import jax.numpy as jnp
+
+    from flax import serialization
+
+    from speechlid_tpu.core.checkpoint import load_checkpoint
+    from speechlid_tpu.tasks.se import SETask
+
+    payload = load_checkpoint(se_ckpt)
+    task = SETask(**payload["meta"].get("hyper_parameters", {}))
+    # init through the task contract: it owns model-specific input
+    # shaping (e.g. FaSNet-TAC consumes (B, nmic, T), not (B, T))
+    v = task.init_variables(
+        jax.random.PRNGKey(0), {"noisy": jnp.zeros((1, 16000))}
+    )
+    params = serialization.from_state_dict(
+        v["params"], payload["state"]["params"]
+    )
+    return task.make_enhance_fn({"params": params})
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--ckpt", default=None, help="LID checkpoint")
@@ -274,27 +298,7 @@ def main(argv=None) -> None:
     if args.ckpt:
         lid_fn, index2lang = build_lid_fn(args)
 
-    se_fn = None
-    if args.se_ckpt:
-        import jax
-
-        from flax import serialization
-
-        from speechlid_tpu.core.checkpoint import load_checkpoint
-        from speechlid_tpu.tasks.se import SETask
-
-        payload = load_checkpoint(args.se_ckpt)
-        task = SETask(**payload["meta"].get("hyper_parameters", {}))
-        import jax.numpy as jnp
-
-        v = task.model.init(
-            {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 16000))
-        )
-        params = serialization.from_state_dict(
-            v["params"], payload["state"]["params"]
-        )
-        fn = task.make_enhance_fn({"params": params})
-        se_fn = fn
+    se_fn = build_se_fn(args.se_ckpt) if args.se_ckpt else None
 
     global BUCKETS_S
     if args.buckets:

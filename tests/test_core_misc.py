@@ -110,6 +110,44 @@ class TestProfiler:
         rec.remove_recoder()
 
 
+class TestServeSELoad:
+    """The real SE checkpoint-load path (serve.build_se_fn) for BOTH SE
+    model types — a raw `(B, T)` model.init in serve once crashed
+    FaSNet-TAC, whose input is (B, nmic, T); only the task contract knows
+    the shaping."""
+
+    @pytest.mark.parametrize("kw", [
+        {"model_type": "dprnn", "enc_dim": 16, "win": 8, "chunk": 25,
+         "n_blocks": 1, "hidden": 16},
+        {"model_type": "fasnet_tac", "enc_dim": 16, "hidden": 16,
+         "n_blocks": 1, "chunk": 50},
+    ])
+    def test_build_se_fn_roundtrip(self, kw, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from speechlid_tpu.cli.serve import build_se_fn
+        from speechlid_tpu.core.checkpoint import save_checkpoint
+        from speechlid_tpu.tasks.se import SETask
+
+        task = SETask(lr=1e-3, **kw)
+        v = task.init_variables(
+            jax.random.PRNGKey(0), {"noisy": np.zeros((1, 16000), np.float32)}
+        )
+        ckpt = str(tmp_path / "se.ckpt")
+        save_checkpoint(ckpt, {"params": v["params"]},
+                        {"hyper_parameters": task.hyper_parameters})
+        fn = build_se_fn(ckpt)
+        wav = np.random.RandomState(0).randn(8000).astype(np.float32) * 0.1
+        out = fn(wav)
+        assert out.shape == wav.shape and np.isfinite(out).all()
+        # restored params must reproduce the in-memory task's output
+        ref = np.asarray(task._apply(
+            {"params": v["params"]}, jnp.asarray(wav[None]))[0])
+        # jit-vs-jit graphs may fuse FFT correlations differently
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
 class TestServeHandlers:
     @pytest.fixture()
     def server(self):
