@@ -115,6 +115,7 @@ class SSLFeaturizerModel(nn.Module):
     feature_selection: str = "last_hidden_state"
     mask_attention: bool = False
     remat: bool = False
+    scan_layers: bool = False  # nn.scan encoder layers (see models/wavlm.py)
 
     def subsampled_lengths(self, lengths: jax.Array) -> jax.Array:
         return conv_out_lengths(lengths, self.config.conv_layers)
@@ -123,7 +124,7 @@ class SSLFeaturizerModel(nn.Module):
     def __call__(self, x, lengths=None, deterministic=True):
         upstream = WavLM(
             self.config, mask_attention=self.mask_attention,
-            remat=self.remat, name="upstream",
+            remat=self.remat, scan_layers=self.scan_layers, name="upstream",
         )
         if self.feature_selection == "last_hidden_state":
             feats, _ = upstream(

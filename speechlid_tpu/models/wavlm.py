@@ -314,6 +314,32 @@ class WavLMEncoderLayer(nn.Module):
         return x, position_bias
 
 
+class _WavLMLayerStep(nn.Module):
+    """One nn.scan step over the uniform encoder layers (1..N-1; layer 0
+    owns the relative-attention bias table and stays unrolled).  The
+    attention returns the UNGATED shared position bias, so broadcasting
+    layer 0's bias into the scan is exact — per-layer gru_rel_pos gates
+    live inside each scanned layer's params.  Emits the layer output as
+    the scan ``y`` so per-layer results (Featurizer weighted sum) fall
+    out stacked."""
+
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, carry, attn_mask, position_bias, deterministic):
+        x = carry
+        y, _ = WavLMEncoderLayer(
+            self.config, has_relative_attention_bias=False
+        )(x, attn_mask, position_bias, deterministic)
+        cfg = self.config
+        if cfg.encoder_layerdrop > 0 and not deterministic:
+            keep = jax.random.bernoulli(
+                self.make_rng("layerdrop"), 1.0 - cfg.encoder_layerdrop
+            )
+            y = jnp.where(keep, y, x)
+        return y, y
+
+
 class _WeightNormConvPos(nn.Module):
     """Conv positional embedding with weight normalization along dim=2
     (kernel-length axis in torch (O, I/g, K) layout; WavLM.py:540-549).
@@ -424,6 +450,13 @@ class WavLM(nn.Module):
     # sequences / low-downsample configs (found via a 35 GB OOM, see
     # tests/verify notes)
     remat: bool = False
+    # nn.scan layers 1..N-1 (layer 0 stays unrolled — it owns the shared
+    # relative-attention bias table): ONE traced layer instead of N-1, so
+    # compile time and serialized-HLO size are O(1) in depth — multi-minute
+    # remote compiles and the POST /remote_compile body limit both shrink.
+    # Param layout differs (layers_rest stacked); convert unrolled weights
+    # with :func:`stack_scan_layers`.  Numerics identical (tests).
+    scan_layers: bool = False
 
     def feat_lengths(self, sample_lengths: jax.Array) -> jax.Array:
         return conv_out_lengths(sample_lengths, self.config.conv_layers)
@@ -518,6 +551,40 @@ class WavLM(nn.Module):
             if self.remat
             else WavLMEncoderLayer
         )
+        if self.scan_layers and cfg.encoder_layers > 1:
+            layer0 = layer_cls(
+                cfg,
+                has_relative_attention_bias=cfg.relative_position_embedding,
+                name="layers_0",
+            )
+            y, position_bias = layer0(x, attn_mask, None, deterministic)
+            if cfg.encoder_layerdrop > 0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    self.make_rng("layerdrop"), 1.0 - cfg.encoder_layerdrop
+                )
+                y = jnp.where(keep, y, x)
+            x = y
+            layer_results.append(x)
+            step_cls = (
+                nn.remat(_WavLMLayerStep, static_argnums=(4,))
+                if self.remat else _WavLMLayerStep
+            )
+            scanned = nn.scan(
+                step_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True,
+                            "layerdrop": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=cfg.encoder_layers - 1,
+            )(cfg, name="layers_rest")
+            x, ys = scanned(x, attn_mask, position_bias, deterministic)
+            if ret_layer_results:
+                layer_results.extend(ys[i] for i in range(ys.shape[0]))
+            if cfg.layer_norm_first:
+                x = nn.LayerNorm(epsilon=1e-5, name="encoder_layer_norm")(x)
+            if ret_layer_results:
+                return x, feat_len, layer_results
+            return x, feat_len
         for i in range(cfg.encoder_layers):
             layer = layer_cls(
                 cfg,
@@ -554,6 +621,7 @@ class WavLMModel(nn.Module):
 
     config: WavLMConfig
     remat: bool = False
+    scan_layers: bool = False
 
     def subsampled_lengths(self, lengths: jax.Array) -> jax.Array:
         return conv_out_lengths(lengths, self.config.conv_layers)
@@ -566,7 +634,8 @@ class WavLMModel(nn.Module):
         only_last: bool = True,
         deterministic: bool = True,
     ):
-        out = WavLM(self.config, remat=self.remat, name="wavlm")(
+        out = WavLM(self.config, remat=self.remat,
+                    scan_layers=self.scan_layers, name="wavlm")(
             x, lengths,
             mask=not deterministic,
             ret_layer_results=not only_last,
@@ -582,6 +651,28 @@ class WavLMModel(nn.Module):
 # ---------------------------------------------------------------------------
 # torch checkpoint conversion
 # ---------------------------------------------------------------------------
+
+
+def stack_scan_layers(params: Dict) -> Dict:
+    """Unrolled WavLM params (``layers_1..layers_{N-1}``) → the
+    ``scan_layers=True`` layout (``layers_rest`` with a leading layer
+    axis).  ``layers_0`` and everything else pass through, so torch
+    checkpoints convert via :func:`convert_wavlm_state` then this."""
+    import jax
+
+    rest = sorted(
+        (k for k in params if k.startswith("layers_") and
+         k.rsplit("_", 1)[-1].isdigit() and int(k.rsplit("_", 1)[-1]) > 0),
+        key=lambda k: int(k.rsplit("_", 1)[-1]),
+    )
+    if not rest:
+        return params
+    out = {k: v for k, v in params.items() if k not in rest}
+    out["layers_rest"] = {"WavLMEncoderLayer_0": jax.tree_util.tree_map(
+        lambda *ls: jnp.stack([jnp.asarray(l) for l in ls]),
+        *[params[k] for k in rest],
+    )}
+    return out
 
 
 def convert_wavlm_state(

@@ -204,6 +204,7 @@ class LidASRTask(TaskModule):
             # mask_prob / mask_channel_prob (reference overrides them at
             # lid/wavlm/example.py:26-28)
             feat_module = SSLFeaturizerModel(
+                scan_layers=scan_blocks,
                 config=ssl_cfg, feature_selection=feature_selection,
                 remat=remat,
             )

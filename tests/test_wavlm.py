@@ -171,3 +171,61 @@ class TestMasking:
         )
         b, _ = model.apply({"params": params}, x)
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestScanLayers:
+    """scan_layers=True (nn.scan over layers 1..N-1; layer 0 unrolled with
+    the shared rel-attn bias table) is a param-LAYOUT change only."""
+
+    CFG = dict(
+        encoder_layers=4, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, relative_position_embedding=True,
+        num_buckets=32, max_distance=64, gru_rel_pos=True,
+        conv_feature_layers="[(32,10,5)] + [(32,3,2)] * 2", dropout=0.0,
+    )
+
+    def _models(self):
+        from speechlid_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+        cfg = WavLMConfig.from_dict(dict(self.CFG))
+        return WavLMModel(cfg), WavLMModel(cfg, scan_layers=True)
+
+    def test_parity_all_layers(self):
+        from speechlid_tpu.models.wavlm import stack_scan_layers
+
+        m0, m1 = self._models()
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 6400) * 0.1, jnp.float32)
+        lens = jnp.asarray([6400, 4800])
+        v0 = m0.init({"params": jax.random.PRNGKey(0)}, x, lens)
+        y0 = np.asarray(m0.apply(v0, x, lens, only_last=False))
+        p1 = {"wavlm": stack_scan_layers(v0["params"]["wavlm"])}
+        y1 = np.asarray(m1.apply({"params": p1}, x, lens, only_last=False))
+        assert y0.shape == y1.shape == (5, 2, 319, 64)
+        np.testing.assert_allclose(y1, y0, rtol=2e-5, atol=2e-5)
+
+    def test_train_mode_grads_all_layers(self):
+        """Masking + dropout rngs + grads through the scanned stack."""
+        _, m1 = self._models()
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(2, 6400) * 0.1, jnp.float32)
+        lens = jnp.asarray([6400, 6400])
+        rngs = {"params": jax.random.PRNGKey(0),
+                "mask": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+                "layerdrop": jax.random.PRNGKey(3)}
+        v = m1.init(rngs, x, lens)
+
+        def loss(p):
+            y = m1.apply({"params": p}, x, lens, deterministic=False,
+                         rngs={k: v_ for k, v_ in rngs.items()
+                               if k != "params"})
+            return jnp.mean(y ** 2)
+
+        g = jax.jit(jax.grad(loss))(v["params"])
+        stacked = g["wavlm"]["layers_rest"]["WavLMEncoderLayer_0"]
+        leaves = jax.tree_util.tree_leaves(stacked)
+        assert leaves and all(l.shape[0] == 3 for l in leaves)
+        per_layer = sum(jnp.sum(jnp.abs(l), axis=tuple(range(1, l.ndim)))
+                        for l in leaves)
+        assert np.all(np.asarray(per_layer) > 0)
