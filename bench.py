@@ -476,9 +476,10 @@ def run_stage(stage: str) -> dict:
         if rest.endswith("_sweep"):
             rest = rest[: -len("_sweep")]
             # best-known point FIRST so a parent timeout still records the
-            # headline from the cumulative partial lines; 512 probes past
-            # the b256 knee on the headline dtype only
-            batches = (256, 128, 32, 512) if rest == "f32" else (256, 128, 32)
+            # headline from the cumulative partial lines (b128 measured
+            # 1113.9 utt/s vs ~1010 at b256 — CHIP_FINDINGS_r3.md); 512
+            # probes past the knee on the headline dtype only
+            batches = (128, 256, 32, 512) if rest == "f32" else (128, 256, 32)
             return bench_model_sweep(
                 _wavlm_builder, _accel(), rest, batches=batches, iters=8,
             )
@@ -683,8 +684,12 @@ def main() -> None:
             _RESULTS[stage] = {"error": "budget exhausted"}
             continue
         if needs_accel and healthy is not True:
-            # probe-loop while budget allows: absorbs worker recovery lag
-            while _remaining() > 180.0:
+            # probe-loop while budget allows: absorbs worker recovery lag.
+            # Gate matches the stage guard (45 s) so a healthy chip with a
+            # thin-but-usable budget still gets its stage; back off between
+            # fast-failing probes instead of respawning in a tight loop.
+            while _remaining() > 60.0:
+                t_p = time.monotonic()
                 payload, _ = _run_child(
                     "probe", min(150.0, _remaining() - 30.0)
                 )
@@ -692,6 +697,8 @@ def main() -> None:
                     healthy = True
                     break
                 healthy = False
+                if time.monotonic() - t_p < 20.0 and _remaining() > 90.0:
+                    time.sleep(20.0)
             if healthy is not True:
                 _RESULTS[stage] = {"error": "chip unavailable"}
                 continue
@@ -705,8 +712,9 @@ def main() -> None:
         else:
             if err:  # partial sweep salvaged from a killed child
                 payload = dict(payload, partial=err)
-                if needs_accel:
-                    healthy = False
+                # points were landing when the cap expired — that is a
+                # planned kill of a healthy chip, not a fault; don't burn
+                # budget re-probing before the next stage
             _RESULTS[stage] = payload
     _emit()
 

@@ -256,15 +256,18 @@ class ProbingKenLM : public NgramModelBase {
   // Returns true on success; on a recognized-but-unsupported binary,
   // fills `error` and returns false.
   bool Load(const std::string& path, std::string* error) {
-    std::ifstream f(path, std::ios::binary);
+    std::ifstream f(path, std::ios::binary | std::ios::ate);
     if (!f.is_open()) return false;
-    data_.assign(std::istreambuf_iterator<char>(f),
-                 std::istreambuf_iterator<char>());
+    const std::streamsize fsize = f.tellg();
+    if (fsize < 128) return false;
+    // one read straight into the final buffer (no iterator realloc churn)
+    data_.resize(static_cast<size_t>(fsize));
+    f.seekg(0);
+    if (!f.read(data_.data(), fsize)) return false;
     static const char kMagic[] =
         "mmap lm http://kheafield.com/code format version 5\n";
     const size_t magic_len = sizeof(kMagic) - 1;
-    if (data_.size() < 128 ||
-        std::memcmp(data_.data(), kMagic, magic_len) != 0)
+    if (std::memcmp(data_.data(), kMagic, magic_len) != 0)
       return false;  // not a KenLM v5 binary — caller may try ARPA
     // Header: Sanity (88 B: magic padded to 56, 3 floats, 3 uint32, 1
     // uint64) then FixedWidthParameters then uint64 counts[order].
@@ -478,18 +481,20 @@ inline uint8_t RequiredBits(uint64_t max_value) {
 class TrieKenLM : public NgramModelBase {
  public:
   bool Load(const std::string& path, std::string* error) {
-    std::ifstream f(path, std::ios::binary);
+    std::ifstream f(path, std::ios::binary | std::ios::ate);
     if (!f.is_open()) return false;
-    std::vector<char> raw((std::istreambuf_iterator<char>(f)),
-                          std::istreambuf_iterator<char>());
-    // 8-byte aligned backing store (bit-packed reads load whole uint64s)
-    data_.assign((raw.size() + 15) / 8, 0);
-    std::memcpy(data_.data(), raw.data(), raw.size());
+    const std::streamsize fsize = f.tellg();
+    if (fsize < 128) return false;
+    const size_t size = static_cast<size_t>(fsize);
+    // 8-byte aligned backing store (bit-packed reads load whole uint64s),
+    // filled by ONE read — no raw intermediate holding 2x the file
+    data_.assign((size + 15) / 8, 0);
+    f.seekg(0);
+    if (!f.read(reinterpret_cast<char*>(data_.data()), fsize)) return false;
     const char* d = base();
-    const size_t size = raw.size();
     static const char kMagic[] =
         "mmap lm http://kheafield.com/code format version 5\n";
-    if (size < 128 || std::memcmp(d, kMagic, sizeof(kMagic) - 1) != 0)
+    if (std::memcmp(d, kMagic, sizeof(kMagic) - 1) != 0)
       return false;
     const size_t kSanity = 88, kFixed = 20;
     unsigned char order = d[kSanity];
@@ -992,28 +997,50 @@ extern "C" {
 
 namespace {
 std::string g_ngram_error;  // last load failure detail (main thread only)
+
+// Read just the 128-byte header: KenLM v5 model_type (0=probing,
+// 1=rest-probing, 2..5=trie family) or -1 when not a KenLM binary.
+// Avoids slurping a multi-GB file once per candidate loader.
+int SniffKenLMType(const char* path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f.is_open()) return -1;
+  char hdr[128];
+  f.read(hdr, sizeof(hdr));
+  if (f.gcount() < static_cast<std::streamsize>(sizeof(hdr))) return -1;
+  static const char kMagic[] =
+      "mmap lm http://kheafield.com/code format version 5\n";
+  if (std::memcmp(hdr, kMagic, sizeof(kMagic) - 1) != 0) return -1;
+  int32_t model_type;
+  std::memcpy(&model_type, hdr + 88 + 8, 4);
+  return model_type;
+}
 }
 
 void* ngram_load(const char* path) {
   g_ngram_error.clear();
-  // binary first (magic sniff inside); fall back to text ARPA
-  {
+  // header sniff dispatches to exactly one loader (a big file is read
+  // once); anything that isn't a KenLM v5 binary falls back to text ARPA
+  const int model_type = SniffKenLMType(path);
+  if (model_type == 0) {
     auto bin = std::make_unique<ProbingKenLM>();
     std::string err;
     if (bin->Load(path, &err)) return bin.release();
-    if (!err.empty()) {  // recognized binary but unsupported/corrupt
-      g_ngram_error = err;
-      return nullptr;
-    }
+    g_ngram_error = err.empty() ? "corrupt KenLM probing binary" : err;
+    return nullptr;
   }
-  {
+  if (model_type >= 2 && model_type <= 5) {
     auto trie = std::make_unique<TrieKenLM>();
     std::string err;
     if (trie->Load(path, &err)) return trie.release();
-    if (!err.empty()) {
-      g_ngram_error = err;
-      return nullptr;
-    }
+    g_ngram_error = err.empty() ? "corrupt KenLM trie binary" : err;
+    return nullptr;
+  }
+  if (model_type != -1) {
+    g_ngram_error = "unsupported KenLM binary type " +
+                    std::to_string(model_type) +
+                    " (probing and the trie family are supported; rebuild "
+                    "with build_binary, or use the text ARPA)";
+    return nullptr;
   }
   auto* lm = new ArpaLM();
   if (!lm->Load(path)) {

@@ -227,7 +227,13 @@ def orchestrate():
         results = measure(port)
     finally:
         server.terminate()
-        server.wait(timeout=30)
+        try:
+            server.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            # stuck in a tunneled device call: don't lose the measured
+            # results (or leave a zombie holding the single-job chip)
+            server.kill()
+            server.wait(timeout=10)
 
     import jax  # platform for the report only
 

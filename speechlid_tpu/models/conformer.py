@@ -33,6 +33,19 @@ from speechlid_tpu.ops import frontend as F
 Dtype = Any
 
 
+def _on_axon_backend() -> bool:
+    """True when the default backend is the experimental axon TPU worker —
+    the only backend whose compiler hangs on bf16 depthwise-conv fusions
+    (docs/runs/bf16_convmod_bisect.py).  Host-side check at trace time;
+    cheap and cached by jax."""
+    try:
+        import jax as _jax
+
+        return any(d.platform == "axon" for d in _jax.devices())
+    except Exception:  # backend init failure → no barrier
+        return False
+
+
 def swish(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(x)
 
@@ -150,7 +163,12 @@ class ConformerConvModule(nn.Module):
         inner = self.dim * self.expansion_factor
         barrier = self.conv_barrier
         if barrier is None:
-            barrier = jnp.dtype(self.dtype) == jnp.dtype(jnp.bfloat16)
+            # auto: only where the workaround is needed — bf16 AND the
+            # axon backend (whose compiler owns the hang).  Healthy
+            # TPU/GPU/CPU backends keep their legitimate fusions.
+            barrier = jnp.dtype(self.dtype) == jnp.dtype(jnp.bfloat16) and (
+                _on_axon_backend()
+            )
         fence = jax.lax.optimization_barrier if barrier else (lambda y: y)
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(2 * inner, dtype=self.dtype)(y)  # pointwise conv1x1

@@ -83,11 +83,23 @@ def pipeline_apply(
     m = n_microbatch or n_stages
     x_mb = split_microbatches(x, m)
 
+    # dp composition: split the microbatch's batch dim (axis 1) over every
+    # OTHER mesh axis so each data row pipelines only its own shard —
+    # without this the batch would replicate and every row would redo the
+    # full work.  Falls back to replication when the shard doesn't divide.
+    other = tuple(a for a in mesh.axis_names if a != axis and mesh.shape[a] > 1)
+    n_other = int(np.prod([mesh.shape[a] for a in other])) if other else 1
+    batch_spec = (
+        P(None, other if len(other) > 1 else other[0])
+        if other and x_mb.shape[1] % n_other == 0
+        else P()
+    )
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), batch_spec),
+        out_specs=batch_spec,
         check_vma=False,
     )
     def run(params, x_mb):

@@ -434,9 +434,14 @@ class LidASRTask(TaskModule):
                 m.sync()
             from speechlid_tpu.metrics.dist import allreduce_sum_counts
 
-            correct, total = (
-                int(x) for x in allreduce_sum_counts(correct, total)
+            # the loss is the CkptCallback monitor — it must be the GLOBAL
+            # mean or ranks disagree on which checkpoint is best
+            loss_sum, loss_n, correct, total = (
+                allreduce_sum_counts(float(np.sum(losses)), len(losses),
+                                     correct, total)
             )
+            losses = [loss_sum / loss_n] if loss_n else []
+            correct, total = int(correct), int(total)
         multi = self.n_lang > 1  # LID metrics degenerate for pure ASR
         result = {
             "avg_val_loss": float(np.mean(losses)) if losses else float("nan"),

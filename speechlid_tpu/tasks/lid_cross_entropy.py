@@ -231,6 +231,13 @@ class LidCrossEntropyTask(TaskModule):
         if jax.process_count() > 1:
             for m in (self.eer, self.cavg, self.acc):
                 m.sync()
+            from speechlid_tpu.metrics.dist import allreduce_sum_counts
+
+            # global-mean loss: it is the checkpoint monitor
+            loss_sum, loss_n = allreduce_sum_counts(
+                float(np.sum(losses)), len(losses)
+            )
+            losses = [loss_sum / loss_n] if loss_n else []
         result = {
             "avg_val_loss": float(np.mean(losses)) if losses else float("nan"),
             "val_acc": self.acc.compute(),

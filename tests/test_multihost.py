@@ -142,8 +142,14 @@ acc.update(scores[sl], targets[sl])
 cer.update(hyps[tsl], texts[tsl])
 for m in (eer, cavg, acc, cer):
     m.sync()
+# per-batch losses are also uneven per process: the checkpoint-monitor
+# avg_val_loss must be the GLOBAL mean (tasks/lid_asr.py val_loop_end)
+from speechlid_tpu.metrics.dist import allreduce_sum_counts
+losses = [1.0, 2.0, 3.0] if pid == 0 else [10.0]
+ls, ln_ = allreduce_sum_counts(float(np.sum(losses)), len(losses))
 print(f"RESULT {pid} {eer.compute():.12f} {cavg.compute():.4f} "
-      f"{acc.compute():.12f} {cer.compute():.12f}", flush=True)
+      f"{acc.compute():.12f} {cer.compute():.12f} {ls / ln_:.12f}",
+      flush=True)
 '''
 
 
@@ -207,7 +213,8 @@ class TestMultiProcessMetricSync:
         cer.update(hyps, texts)
         expect = (
             f"{eer.compute():.12f} {cavg.compute():.4f} "
-            f"{acc.compute():.12f} {cer.compute():.12f}"
+            f"{acc.compute():.12f} {cer.compute():.12f} "
+            f"{np.mean([1.0, 2.0, 3.0, 10.0]):.12f}"
         )
         for ln in results:
             assert ln.split(None, 2)[2] == expect
