@@ -34,16 +34,17 @@ Dtype = Any
 
 
 def _on_axon_backend() -> bool:
-    """True when the default backend is the experimental axon TPU worker —
-    the only backend whose compiler hangs on bf16 depthwise-conv fusions
-    (docs/runs/bf16_convmod_bisect.py).  Host-side check at trace time;
-    cheap and cached by jax."""
-    try:
-        import jax as _jax
+    """True on the experimental axon TPU worker — the only backend whose
+    compiler hangs on bf16 depthwise-conv fusions
+    (docs/runs/bf16_convmod_bisect.py).  The chip registers as platform
+    'tpu', so the reliable marker is the axon-pool env var its site
+    bootstrap requires; SPEECHLID_CONV_BARRIER=1/0 overrides either way."""
+    import os
 
-        return any(d.platform == "axon" for d in _jax.devices())
-    except Exception:  # backend init failure → no barrier
-        return False
+    forced = os.environ.get("SPEECHLID_CONV_BARRIER")
+    if forced is not None:
+        return forced not in ("0", "", "false")
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
 
 
 def swish(x: jax.Array) -> jax.Array:
@@ -134,6 +135,33 @@ class RelPosAttention(nn.Module):
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
 
+class _PallasDepthwise(nn.Module):
+    """Depthwise conv1d via the Pallas VPU kernel, with nn.Conv's exact
+    param tree (kernel (k, 1, C) + bias (C,), same init) so checkpoints
+    are interchangeable with the XLA implementation."""
+
+    features: int
+    kernel_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        from speechlid_tpu.ops.pallas.depthwise_kernel import depthwise_conv1d
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return depthwise_conv1d(
+            y.astype(self.dtype),
+            kernel[:, 0, :].astype(self.dtype),
+            bias.astype(self.dtype),
+        )
+
+
 class ConformerConvModule(nn.Module):
     """LN → pointwise(2·expansion) → GLU → depthwise k31 'same' → BN →
     Swish → pointwise → dropout (conformer.py:174-208)."""
@@ -149,8 +177,14 @@ class ConformerConvModule(nn.Module):
     # XLA backend never finishes compiling a bf16 grouped conv once GLU/BN
     # fuse into it (bisected in docs/runs/bf16_convmod_bisect.py — every
     # piece passes alone, any fused pair hangs).  None = auto: barrier
-    # exactly when running in bf16, a no-op numerically either way.
+    # exactly when running in bf16 on that backend, a numerical no-op
+    # either way.
     conv_barrier: Optional[bool] = None
+    # depthwise implementation: 'xla' (lax grouped conv), 'pallas' (VPU
+    # kernel, ops/pallas/depthwise_kernel.py — removes the grouped conv
+    # from XLA entirely), or 'auto' (pallas exactly where the XLA lowering
+    # is broken: bf16 on the axon backend).  Same param tree either way.
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -161,14 +195,16 @@ class ConformerConvModule(nn.Module):
     ) -> jax.Array:
         act = double_swish if self.use_double_swish else swish
         inner = self.dim * self.expansion_factor
+        is_bf16 = jnp.dtype(self.dtype) == jnp.dtype(jnp.bfloat16)
+        use_pallas = self.conv_impl == "pallas" or (
+            self.conv_impl == "auto" and is_bf16 and _on_axon_backend()
+        )
         barrier = self.conv_barrier
         if barrier is None:
             # auto: only where the workaround is needed — bf16 AND the
-            # axon backend (whose compiler owns the hang).  Healthy
-            # TPU/GPU/CPU backends keep their legitimate fusions.
-            barrier = jnp.dtype(self.dtype) == jnp.dtype(jnp.bfloat16) and (
-                _on_axon_backend()
-            )
+            # axon backend (whose compiler owns the hang) — and only for
+            # the XLA grouped conv; the Pallas kernel needs no fence.
+            barrier = is_bf16 and not use_pallas and _on_axon_backend()
         fence = jax.lax.optimization_barrier if barrier else (lambda y: y)
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(2 * inner, dtype=self.dtype)(y)  # pointwise conv1x1
@@ -177,15 +213,20 @@ class ConformerConvModule(nn.Module):
         if pad_mask is not None:
             # keep padded frames from leaking into the depthwise conv
             y = jnp.where(pad_mask[:, :, None], y, 0.0)
-        y = nn.Conv(
-            inner,
-            (self.kernel_size,),
-            padding="SAME",
-            feature_group_count=inner,
-            dtype=self.dtype,
-            name="depthwise",
-        )(fence(y))
-        y = fence(y)
+        if use_pallas:
+            y = _PallasDepthwise(
+                inner, self.kernel_size, self.dtype, name="depthwise"
+            )(y)
+        else:
+            y = nn.Conv(
+                inner,
+                (self.kernel_size,),
+                padding="SAME",
+                feature_group_count=inner,
+                dtype=self.dtype,
+                name="depthwise",
+            )(fence(y))
+            y = fence(y)
         y = nn.BatchNorm(
             use_running_average=deterministic, dtype=self.dtype, name="bn"
         )(y)
