@@ -237,19 +237,23 @@ def orchestrate():
 
     import jax  # platform for the report only
 
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
     date = datetime.date.today().isoformat()
-    out = f"docs/runs/SERVE_CHIP_{date}.md"
+    out = f"docs/runs/SERVE_{'CHIP' if on_tpu else 'CPU'}_{date}.md"
     os.makedirs("docs/runs", exist_ok=True)
     rows = "\n".join(
         f"| {k} | {v['p50_ms']} | {v['p95_ms']} | {v['n']} |"
         for k, v in results.items()
     )
     with open(out, "w") as f:
-        f.write(f"""# On-chip serving validation — {date}
+        where = ("the axon TPU" if on_tpu
+                 else "the CPU backend (chip unavailable — harness proof)")
+        f.write(f"""# {'On-chip' if on_tpu else 'CPU-backend'} serving validation — {date}
 
-`cli/serve.py` driven end-to-end on the axon TPU
-(platform `{jax.devices()[0].platform}`): tiny supervised Conformer LID +
-FaSNet-TAC SE checkpoints trained on-chip, served over HTTP with bucket
+`cli/serve.py` driven end-to-end on {where}
+(platform `{platform}`): tiny supervised Conformer LID +
+FaSNet-TAC SE checkpoints trained on the same backend, served over HTTP with bucket
 warmup ({{1,2}} s), then measured with warm sequential requests and an
 8-way concurrent burst.  SE executes on the CPU backend by design
 (tasks/se.py make_enhance_fn — scan-heavy dual-path graph, mirrors the

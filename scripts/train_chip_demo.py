@@ -172,7 +172,8 @@ def orchestrate():
     p1, p2 = results[1], results[2]
     date = datetime.date.today().isoformat()
     os.makedirs("docs/runs", exist_ok=True)
-    out = f"docs/runs/TRAIN_CHIP_{date}.md"
+    on_tpu = p1["platform"] in ("tpu", "axon")
+    out = f"docs/runs/TRAIN_{'CHIP' if on_tpu else 'CPU'}_{date}.md"
 
     def curve(vals):
         lines = []
@@ -188,10 +189,12 @@ def orchestrate():
         for k, (v, c) in sorted(p2["timings"].items())
     }
     with open(out, "w") as f:
-        f.write(f"""# On-chip training demo — {date}
+        where = ("the real TPU chip" if on_tpu
+                 else "the CPU backend (chip unavailable — harness proof)")
+        f.write(f"""# {'On-chip' if on_tpu else 'CPU-backend'} training demo — {date}
 
 Supervised Conformer LID (4×96-d, 4× subsample, 3 synthetic languages,
-96 utts) trained END-TO-END on the real TPU chip (platform
+96 utts) trained END-TO-END on {where} (platform
 `{p1["platform"]}`), then checkpoint-resumed in a FRESH process and
 continued — SURVEY.md §7.2 stage-3 milestone, VERDICT round-1 item 6.
 Each phase is its own subprocess (axon-worker robustness pattern,
