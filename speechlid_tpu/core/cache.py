@@ -49,17 +49,22 @@ def cacheable(
 
     Only keyword calls participate in the key (same contract as the
     reference); positional args are executed but not keyed, so callers
-    should pass the distinguishing argument by name.
+    should pass the distinguishing argument by name.  ``cache_key`` may be
+    a single kwarg name or a tuple of names — every named value becomes
+    part of the key (e.g. manifest_path AND split, so the same manifest
+    parsed for different splits never aliases).
     """
+
+    key_names = (cache_key,) if isinstance(cache_key, str) else tuple(cache_key)
 
     def decorate(fn: Callable) -> Callable:
         @wraps(fn)
         def wrapper(*args, **kwargs):
             if disable or os.environ.get("SPEECHLID_CACHE_DISABLE"):
                 return fn(*args, **kwargs)
-            key_val = kwargs.get(cache_key)
-            if key_val is None:
+            if kwargs.get(key_names[0]) is None:
                 return fn(*args, **kwargs)
+            key_val = "|".join(repr(kwargs.get(k)) for k in key_names)
             digest = hashlib.sha1(
                 f"{fn.__module__}.{fn.__qualname__}:{key_val}".encode()
             ).hexdigest()[:24]

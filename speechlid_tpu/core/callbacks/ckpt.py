@@ -42,6 +42,7 @@ class CkptCallback(Callback):
         # -metric for min mode so the WORST kept ckpt is at the heap root
         self._heap: List[Tuple[float, str]] = []
         self._scanned = False
+        self._eval_count = 0
 
     def _rescan(self) -> None:
         """Rebuild the heap from checkpoints already on disk so top-k
@@ -74,6 +75,11 @@ class CkptCallback(Callback):
         )
 
     def after_eval_epoch(self, epoch: int, metrics: Dict) -> None:
+        # reference interval gating (ckpt_callback.py:97-99): save every
+        # `interval`-th eval epoch
+        self._eval_count += 1
+        if self._eval_count % max(self.interval, 1) != 0:
+            return
         if jax.process_index() != 0 or self.trainer is None:
             return
         if not self._scanned:

@@ -75,8 +75,11 @@ def make_optimizer(
     chain = []
     if clip_norm:
         chain.append(optax.clip_by_global_norm(clip_norm))
+    if name == "adam" and weight_decay:
+        # torch Adam's weight_decay is L2 added to the grad INSIDE
+        # optimizer.step — i.e. AFTER the trainer-level clip (the
+        # reference clips raw grads at ccml/trainer.py:541), and it
+        # applies regardless of the LR schedule (plateau included)
+        chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(inner)
-    if name == "adam" and weight_decay and schedule != "plateau":
-        # torch Adam's weight_decay is L2 on the gradient — emulate
-        chain.insert(0, optax.add_decayed_weights(weight_decay))
     return optax.chain(*chain), plateau

@@ -42,10 +42,16 @@ def novograd(
     luc_eps: float = 1e-8,
 ) -> optax.GradientTransformation:
     def init_fn(params):
-        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
-        nu = jax.tree_util.tree_map(lambda p: jnp.zeros((), p.dtype), params)
+        # moments live in f32 regardless of param dtype: update_fn computes
+        # and returns f32 (per-layer norms need the precision), so bf16-
+        # param init would flip the opt-state dtype after step 1 — a full
+        # train_step retrace mid-run and lossy moment casts on resume
+        f32 = lambda p: jnp.zeros(p.shape, jnp.float32)
+        mu = jax.tree_util.tree_map(f32, params)
+        nu = jax.tree_util.tree_map(lambda p: jnp.zeros((), jnp.float32), params)
         if amsgrad:
-            nu = (nu, jax.tree_util.tree_map(lambda p: jnp.zeros((), p.dtype), params))
+            nu = (nu, jax.tree_util.tree_map(
+                lambda p: jnp.zeros((), jnp.float32), params))
         return NovogradState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
 
     def update_fn(updates, state, params=None):

@@ -288,10 +288,17 @@ class Trainer:
                 return jax.tree_util.tree_map(jnp.asarray, batch)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(self.mesh, P(self.data_axis))
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(np.asarray(x), sharding), batch
-            )
+            data_size = self.mesh.shape[self.data_axis]
+            sharded = NamedSharding(self.mesh, P(self.data_axis))
+            replicated = NamedSharding(self.mesh, P())
+
+            def place(x):
+                x = np.asarray(x)
+                # scalars (e.g. n_valid) and odd leading dims replicate
+                ok = x.ndim >= 1 and x.shape[0] % data_size == 0
+                return jax.device_put(x, sharded if ok else replicated)
+
+            return jax.tree_util.tree_map(place, batch)
 
     # ------------------------------------------------------------------ train
     def fit(
@@ -301,7 +308,10 @@ class Trainer:
         val_loader: Optional[Iterable] = None,
     ) -> None:
         """Reference Trainer.fit (trainer.py:439-665)."""
-        first_batch = next(iter(train_loader))
+        # feeders expose peek() (no prefetch thread, no epoch advance);
+        # plain iterables fall back to one consumed iterator
+        first_batch = (train_loader.peek() if hasattr(train_loader, "peek")
+                       else next(iter(train_loader)))
         self.trainer_prepare(ccml_module, first_batch)
         for cb in self.callbacks:
             cb.add_trainer(self)
@@ -426,7 +436,9 @@ class Trainer:
     def test(self, ccml_module: TaskModule, test_loader: Iterable) -> Dict:
         """Reference Trainer.test (trainer.py:668-697)."""
         if self.module is None:
-            first_batch = next(iter(test_loader))
+            first_batch = (test_loader.peek()
+                           if hasattr(test_loader, "peek")
+                           else next(iter(test_loader)))
             self.trainer_prepare(ccml_module, first_batch)
         outputs: List[Dict] = []
         for batch in test_loader:
@@ -503,24 +515,25 @@ class Trainer:
         pass over training data (trainer.py:647-665)."""
         logging.info("SWA: swapping averaged weights, re-estimating BN stats")
         self.state = self.state.replace(params=self.state.swa_params)
-        if not self.state.model_state or "batch_stats" not in (
-            self.state.model_state or {}
-        ):
-            return
         bn_fn = getattr(self.module, "bn_update_loop", None)
-        if bn_fn is None:
-            return
-        jit_bn = jax.jit(
-            lambda state, batch: bn_fn(
-                {"params": state.params, **state.model_state}, batch
-            )
+        has_bn = bool(self.state.model_state) and "batch_stats" in (
+            self.state.model_state or {}
         )
-        for batch in train_loader:
-            batch = self._place_batch(batch)
-            new_stats = jit_bn(self.state, batch)
-            ms = dict(self.state.model_state)
-            ms["batch_stats"] = new_stats
-            self.state = self.state.replace(model_state=ms)
+        if has_bn and bn_fn is not None:
+            jit_bn = jax.jit(
+                lambda state, batch: bn_fn(
+                    {"params": state.params, **state.model_state}, batch
+                )
+            )
+            for batch in train_loader:
+                batch = self._place_batch(batch)
+                new_stats = jit_bn(self.state, batch)
+                ms = dict(self.state.model_state)
+                ms["batch_stats"] = new_stats
+                self.state = self.state.replace(model_state=ms)
+        # the averaged weights must land on disk even without a BN
+        # re-estimation pass — otherwise the whole SWA result of the run
+        # only ever existed in process memory
         for cb in self.callbacks:
             if isinstance(cb, CkptCallback):
                 cb.save_swa(self.total_epoch, {})

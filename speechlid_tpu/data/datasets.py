@@ -33,10 +33,14 @@ class MergedDataset:
         manifests: Sequence[RawManifest],
         tokenizers: Dict[str, CTCTokenizer],
         lang2index: Dict[str, int],
+        sample_rate: int = 16000,  # expected corpus rate; mismatches
+        #                            host-resample (linear) with a warning
     ) -> None:
         self.manifests = list(manifests)
         self.tokenizers = tokenizers
         self.lang2index = lang2index
+        self.sample_rate = sample_rate
+        self._sr_warned = set()
         self.offsets = []
         total = 0
         for m in self.manifests:
@@ -60,6 +64,24 @@ class MergedDataset:
                 lang = item["locale"]
                 tok = self.tokenizers[lang]
                 wav, sr = read_wav(item["path"])
+                if sr != self.sample_rate:
+                    # a wrong-rate wav silently treated as 16 kHz would
+                    # stretch features ~2x; resample on the host and warn
+                    # once per rate (torchaudio pipelines resample too)
+                    if sr not in self._sr_warned:
+                        self._sr_warned.add(sr)
+                        import logging
+
+                        logging.warning(
+                            "resampling %d Hz audio to %d Hz (e.g. %s)",
+                            sr, self.sample_rate, item["path"],
+                        )
+                    n_out = int(round(len(wav) * self.sample_rate / sr))
+                    wav = np.interp(
+                        np.arange(n_out) * (len(wav) - 1) / max(n_out - 1, 1),
+                        np.arange(len(wav)), wav,
+                    ).astype(np.float32)
+                    sr = self.sample_rate
                 ids = tok.encoder(item["sentence"])
                 return {
                     "wav": wav,
@@ -113,7 +135,18 @@ class MultiBatchSampler:
         for off, m in zip(self.dataset.offsets, self.dataset.manifests):
             idxs = list(range(off, off + len(m)))
             rng.shuffle(idxs)
-            idxs = idxs[self.shard_id :: self.num_shards]
+            if self.num_shards > 1:
+                # DistributedSampler invariant: wrap-pad so EVERY shard
+                # holds ceil(n/num_shards) items per language — pool
+                # sizes (hence the weighted language schedule and the
+                # number of batches) are then IDENTICAL on all processes;
+                # unequal counts would desync the SPMD step loop (one
+                # host exits its epoch while another blocks in the grad
+                # all-reduce).
+                per = -(-len(idxs) // self.num_shards) if idxs else 0
+                shard = idxs[self.shard_id :: self.num_shards]
+                shard += idxs[: per - len(shard)]
+                idxs = shard
             pools.append(idxs)
         return pools
 
@@ -141,8 +174,9 @@ class MultiBatchSampler:
             yield batch
 
     def __len__(self) -> int:
+        # wrap-padded shards: every process holds ceil(n/num_shards)
         sizes = [
-            len(range(0, len(m))[self.shard_id :: self.num_shards])
+            -(-len(m) // self.num_shards) if len(m) else 0
             for m in self.dataset.manifests
         ]
         if self.drop_last:

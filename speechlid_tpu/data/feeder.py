@@ -46,6 +46,9 @@ class Batch:
             "texts": self.texts,
             "text_lengths": self.text_lengths,
             "langs": self.langs,
+            # unique rows (repeat-padded partial batches duplicate rows
+            # for shape stability) — val metrics slice to [:n_valid]
+            "n_valid": np.int32(self.n_valid),
         }
 
 
@@ -121,24 +124,55 @@ class BucketFeeder:
             wavs, wav_lengths, texts, text_lengths, langs, paths, n_valid
         )
 
+    def peek(self) -> Dict:
+        """First batch of the CURRENT epoch, assembled synchronously —
+        no prefetch thread, no epoch advance.  The trainer's init probe
+        uses this instead of ``next(iter(feeder))`` so probing neither
+        leaks a blocked worker nor shifts every epoch's shuffle seed."""
+        self.sampler.set_epoch(self._epoch)
+        idxs = next(iter(self.sampler))
+        item = self._assemble(idxs)
+        return item.arrays() if self.arrays_only else item
+
     def __iter__(self) -> Iterator:
         self.sampler.set_epoch(self._epoch)
         self._epoch += 1
         batch_lists = list(iter(self.sampler))
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def worker():
             try:
                 for idxs in batch_lists:
-                    q.put(self._assemble(idxs))
+                    item = self._assemble(idxs)
+                    # bounded put so an abandoned iterator (GC'd generator,
+                    # early break, train_data_factor<1) releases the
+                    # thread instead of pinning it + `prefetch` assembled
+                    # batches forever
+                    while not abandoned.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
             finally:
-                q.put(stop)
+                while not abandoned.is_set():
+                    try:
+                        q.put(stop, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item.arrays() if self.arrays_only else item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item.arrays() if self.arrays_only else item
+        finally:
+            abandoned.set()  # GeneratorExit / break / exception path

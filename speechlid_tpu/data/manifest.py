@@ -56,7 +56,8 @@ def parse_common_voice_tsv(manifest_path: str = None) -> List[Dict]:
     return out
 
 
-@cacheable(cache_key="manifest_path", project="xfasr", time_unit=TimeUnit.WEEK)
+@cacheable(cache_key=("manifest_path", "split"), project="xfasr",
+           time_unit=TimeUnit.WEEK)
 def parse_xf_manifest(manifest_path: str = None, split: str = "train") -> List[Dict]:
     """XF `name\\ttext` manifest; language from parent dir, audio under
     wav/<split> (raw_datasets.py:104-128)."""
@@ -99,13 +100,16 @@ class RawManifest:
         max_duration: float = 16.7,
         train: bool = False,
         source: str = "common_voice",  # or "xf"
+        split: str = None,  # XF audio subdir under wav/; None = reference
+        #                     behavior (always 'train' — the reference
+        #                     hardcodes it, raw_datasets.py:111-112)
     ) -> None:
         self.train = train
         if source == "common_voice":
             items = parse_common_voice_tsv(manifest_path=manifest_path)
         else:
             items = parse_xf_manifest(
-                manifest_path=manifest_path, split="train"
+                manifest_path=manifest_path, split=split or "train"
             )
         kept, dropped, dropped_dur = [], 0, 0.0
         for it in items:

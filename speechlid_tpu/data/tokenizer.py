@@ -50,11 +50,16 @@ class CTCTokenizer:
 
     # ------------------------------------------------------------------ encode
     def encoder(self, s: str) -> np.ndarray:
-        """Lowercase, drop OOV chars, squeeze doubled spaces, strip
-        (tokenizer.py:180-207)."""
+        """Lowercase, drop OOV chars, squeeze space runs, strip
+        (tokenizer.py:180-207 — the reference's one-pass
+        ``replace("  ", " ")`` only HALVES runs, leaving double spaces in
+        CTC targets whenever OOV drops create 3+-space runs; its stated
+        intent "去掉多余空格" is the full squeeze implemented here)."""
         s = s.lower()
         kept = "".join(c for c in s if c in self.s2labels_map)
-        kept = kept.replace("  ", " ").strip()
+        while "  " in kept:
+            kept = kept.replace("  ", " ")
+        kept = kept.strip()
         return np.asarray([self.s2labels_map[c] for c in kept], dtype=np.int32)
 
     # ------------------------------------------------------------------ decode

@@ -330,7 +330,7 @@ class LidASRTask(TaskModule):
             logits, jnp.asarray(self.vocab_sizes), feat_lens
         )  # (B, L)
         pred_ids = jnp.argmax(lp, axis=-1).astype(jnp.int32)
-        return {
+        out = {
             "loss": loss,
             "scores": scores,
             "pred_ids": pred_ids,
@@ -339,6 +339,9 @@ class LidASRTask(TaskModule):
             "texts": batch["texts"],
             "text_lengths": batch["text_lengths"],
         }
+        if "n_valid" in batch:  # repeat-padded partial batches
+            out["n_valid"] = batch["n_valid"]
+        return out
 
     # ------------------------------------------------------------- host hooks
     def before_train_loop(self, epoch: int):
@@ -391,10 +394,14 @@ class LidASRTask(TaskModule):
         losses, correct, total = [], 0, 0
         self.err_fn.reset()
         for out in outputs:
-            if np.isfinite(out["loss"]):
-                losses.append(out["loss"])
             scores = np.asarray(out["scores"])  # (B, L)
             langs = np.asarray(out["langs"])
+            # slice away repeat-padded duplicate rows (partial batches are
+            # padded for shape stability — feeder.Batch.n_valid)
+            nv = int(out.get("n_valid", 0)) or len(langs)
+            scores, langs = scores[:nv], langs[:nv]
+            if np.isfinite(out["loss"]):
+                losses.append(out["loss"])
             prob = normalize_scores(scores)
             pred = prob.argmax(axis=-1)
             # reference updates EER/Cavg with predicted lang as "target"
@@ -408,10 +415,10 @@ class LidASRTask(TaskModule):
             total += len(langs)
             # CER/WER via host decode with the right language's tokenizer
             if self.tokenizers:
-                pred_ids = np.asarray(out["pred_ids"])
-                feat_lens = np.asarray(out["feat_lens"])
-                texts = np.asarray(out["texts"])
-                text_lens = np.asarray(out["text_lengths"])
+                pred_ids = np.asarray(out["pred_ids"])[:nv]
+                feat_lens = np.asarray(out["feat_lens"])[:nv]
+                texts = np.asarray(out["texts"])[:nv]
+                text_lens = np.asarray(out["text_lengths"])[:nv]
                 for i in range(len(langs)):
                     lang = self.index2lang[int(langs[i])]
                     tok = self.tokenizers.get(lang)

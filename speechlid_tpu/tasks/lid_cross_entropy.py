@@ -209,11 +209,14 @@ class LidCrossEntropyTask(TaskModule):
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, batch["langs"]
         ).mean()
-        return {
+        out = {
             "loss": loss,
             "probs": jax.nn.softmax(logits, axis=-1),
             "langs": batch["langs"],
         }
+        if "n_valid" in batch:  # repeat-padded partial batches
+            out["n_valid"] = batch["n_valid"]
+        return out
 
     def val_loop_end(self, outputs: List[Dict]) -> Dict[str, float]:
         losses = []
@@ -223,6 +226,9 @@ class LidCrossEntropyTask(TaskModule):
                 losses.append(out["loss"])
             probs = np.asarray(out["probs"])
             langs = np.asarray(out["langs"])
+            # slice away repeat-padded duplicate rows (feeder n_valid)
+            nv = int(out.get("n_valid", 0)) or len(langs)
+            probs, langs = probs[:nv], langs[:nv]
             self.eer.update(probs, langs)
             self.cavg.update(probs, langs)
             self.acc.update(probs, langs)

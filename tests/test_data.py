@@ -28,6 +28,14 @@ class TestTokenizer:
         tok = CTCTokenizer(["a", "b"])
         assert tok.encoder("axb!").tolist() == [0, 1]
 
+    def test_space_runs_fully_squeezed(self):
+        """OOV drops create 3+-space runs; one replace pass only halves
+        them (the reference bug) — targets must never contain doubled
+        spaces."""
+        tok = CTCTokenizer([" ", "a", "b"])
+        assert tok.encoder("a , . b").tolist() == [1, 0, 2]
+        assert tok.encoder("a     b").tolist() == [1, 0, 2]
+
     def test_ctc_decode_collapse(self):
         tok = CTCTokenizer(["a", "b", "c"])  # blank=3
         pred = np.asarray([[0, 0, 3, 1, 1, 3, 3, 2]])
@@ -203,3 +211,115 @@ class TestAugmentor:
         a = next(iter(feeder))
         b = next(iter(plain))
         assert a["wavs"].shape == b["wavs"].shape
+
+
+class TestShardedSamplerParity:
+    """Multi-process SPMD invariants (self-review r3): every shard must
+    produce the SAME number of batches and the SAME language/batch-size
+    schedule, or one host exits its epoch while another blocks in the
+    gradient all-reduce."""
+
+    def _dataset(self, tmp_path, monkeypatch, ns=(17, 5)):
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        langs = tuple(f"l{i}" for i in range(len(ns)))
+        for lang, n in zip(langs, ns):
+            d = tmp_path / lang
+            wd = d / "wav" / "train"
+            wd.mkdir(parents=True)
+            lines = []
+            for i in range(n):
+                t = np.arange(4800) / 16000
+                write_wav(str(wd / f"u{i}.wav"),
+                          (0.1 * np.sin(2 * np.pi * 300 * t)).astype(np.float32),
+                          16000)
+                lines.append(f"u{i}.wav\taa bb")
+            (d / "train.txt").write_text("\n".join(lines))
+        mans = [RawManifest(str(tmp_path / lang / "train.txt"),
+                            max_duration=2.0, source="xf") for lang in langs]
+        toks = {m.lang(): CTCTokenizer(m.export_vocab()) for m in mans}
+        l2i = {m.lang(): i for i, m in enumerate(mans)}
+        return MergedDataset(mans, toks, l2i)
+
+    def test_schedules_identical_across_shards(self, tmp_path, monkeypatch):
+        ds = self._dataset(tmp_path, monkeypatch)
+
+        def schedule(shard):
+            s = MultiBatchSampler(ds, batch_size=4, seed=3, shard_id=shard,
+                                  num_shards=2)
+            s.set_epoch(2)
+            return [(ds.lang_of_global(b[0]), len(b)) for b in s]
+
+        s0, s1 = schedule(0), schedule(1)
+        assert s0 == s1  # same language order AND batch sizes
+        assert len(s0) == len(MultiBatchSampler(
+            ds, 4, seed=3, shard_id=0, num_shards=2))
+
+    def test_shards_cover_all_items(self, tmp_path, monkeypatch):
+        ds = self._dataset(tmp_path, monkeypatch, ns=(8,))
+        seen = set()
+        for shard in (0, 1):
+            s = MultiBatchSampler(ds, batch_size=4, seed=0, shard_id=shard,
+                                  num_shards=2)
+            for b in s:
+                seen.update(b)
+        assert seen == set(range(8))
+
+
+class TestFeederHygiene:
+    def _feeder(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        paths = _write_corpus(str(tmp_path), langs=("aa",), n=6)
+        mans = [RawManifest(p, max_duration=2.0, source="xf") for p in paths]
+        toks = {m.lang(): CTCTokenizer(m.export_vocab()) for m in mans}
+        ds = MergedDataset(mans, toks, {"aa": 0})
+        return BucketFeeder(ds, MultiBatchSampler(ds, 4, seed=0),
+                            buckets_s=(1.0,))
+
+    def test_peek_does_not_advance_epoch(self, tmp_path, monkeypatch):
+        f = self._feeder(tmp_path, monkeypatch)
+        a = f.peek()
+        b = f.peek()
+        np.testing.assert_array_equal(a["wavs"], b["wavs"])
+        first = next(iter(f))  # epoch 0 iterator
+        np.testing.assert_array_equal(a["wavs"], first["wavs"])
+
+    def test_abandoned_iterator_releases_worker(self, tmp_path, monkeypatch):
+        import threading
+        import time
+
+        f = self._feeder(tmp_path, monkeypatch)
+        before = threading.active_count()
+        for _ in range(5):
+            it = iter(f)
+            next(it)
+            it.close()  # trainer breaks early (train_data_factor, probe)
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_partial_batch_n_valid(self, tmp_path, monkeypatch):
+        f = self._feeder(tmp_path, monkeypatch)  # 6 items, batch 4
+        sizes = sorted(b["n_valid"] for b in f)
+        assert sizes == [2, 4]
+        for b in self._feeder(tmp_path, monkeypatch):
+            assert b["wavs"].shape[0] == 4  # repeat-padded static shape
+
+
+class TestMergedDatasetResample:
+    def test_wrong_rate_is_resampled(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        d = tmp_path / "aa"
+        wd = d / "wav" / "train"
+        wd.mkdir(parents=True)
+        t8k = np.arange(8000) / 8000  # 1 s at 8 kHz
+        write_wav(str(wd / "u0.wav"),
+                  (0.1 * np.sin(2 * np.pi * 100 * t8k)).astype(np.float32),
+                  8000)
+        (d / "train.txt").write_text("u0.wav\taa")
+        m = RawManifest(str(d / "train.txt"), max_duration=5.0, source="xf")
+        tok = CTCTokenizer(m.export_vocab())
+        ds = MergedDataset([m], {"aa": tok}, {"aa": 0}, sample_rate=16000)
+        item = ds[0]
+        assert item["sr"] == 16000
+        assert abs(len(item["wav"]) - 16000) <= 2  # still ~1 s of audio

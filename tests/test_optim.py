@@ -169,3 +169,43 @@ class TestFactory:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(updates["w"])), 1.0, rtol=1e-5
         )
+
+
+class TestWeightDecaySemantics:
+    """torch Adam weight_decay is L2 added to the grad INSIDE step — after
+    the trainer-level clip, and independent of the LR schedule (it used to
+    be silently DROPPED with schedule='plateau')."""
+
+    def test_plateau_keeps_weight_decay(self):
+        import jax.numpy as jnp
+
+        from speechlid_tpu.core.optim import make_optimizer
+
+        params = {"w": jnp.ones((4,))}
+        grads = {"w": jnp.zeros((4,))}
+        for schedule in (None, "plateau"):
+            tx, _ = make_optimizer("adam", lr=0.1, weight_decay=0.5,
+                                   clip_norm=20.0, schedule=schedule)
+            state = tx.init(params)
+            updates, _ = tx.update(grads, state, params)
+            # zero grads + wd>0 → nonzero update pulled toward 0
+            assert float(jnp.abs(updates["w"]).sum()) > 0, schedule
+
+    def test_decay_not_scaled_by_clip(self):
+        import jax.numpy as jnp
+
+        from speechlid_tpu.core.optim import make_optimizer
+
+        params = {"w": jnp.full((4,), 100.0)}
+        huge = {"w": jnp.full((4,), 1e6)}  # forces clipping
+        tx, _ = make_optimizer("adam", lr=0.1, weight_decay=1.0,
+                               clip_norm=1.0)
+        s = tx.init(params)
+        u_clip, _ = tx.update(huge, s, params)
+        tx2, _ = make_optimizer("adam", lr=0.1, weight_decay=1.0,
+                                clip_norm=None)
+        u_raw, _ = tx2.update({"w": huge["w"] * 0 + 1e-12}, tx2.init(params),
+                              params)
+        # with decay applied AFTER clip, the decay term (wd*p = 100)
+        # dominates the clipped grad (≤1): sign matches pure-decay update
+        assert jnp.all(jnp.sign(u_clip["w"]) == jnp.sign(u_raw["w"]))

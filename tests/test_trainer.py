@@ -243,14 +243,23 @@ class TestTrainerFit:
             not np.allclose(live0[n], live1[n]) for n in live0
         ), "live moments should update"
 
-    def test_swa_average_tracked(self):
+    def test_swa_average_tracked(self, tmp_path):
+        from speechlid_tpu.core.callbacks import CkptCallback
+
         data = _make_data(n=64)
         tr = Trainer(total_epoch=4, use_swa=True, swa_start_ratio=0.5,
-                     use_progress_bar=False)
+                     use_progress_bar=False,
+                     callbacks=[CkptCallback(str(tmp_path))])
         tr.fit(ToyTask(lr=0.05), data, data)
         # after fit, params were swapped to the SWA average
         assert tr.state.swa_count is not None
         assert int(tr.state.swa_count) == 2  # epochs 2,3
+        # and the averaged weights landed on disk even though ToyTask has
+        # no batch_stats/bn_update_loop (self-review r3: the early return
+        # used to skip save_swa, losing the SWA result of the run)
+        import os
+
+        assert os.path.exists(str(tmp_path / "swa_final.ckpt"))
 
     def test_plateau_lr_reduced(self):
         data = _make_data(n=64)
