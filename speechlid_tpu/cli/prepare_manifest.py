@@ -71,7 +71,9 @@ def build_language(
         vocab.update(text.lower())
     rng = random.Random(seed)
     rng.shuffle(rows)
-    n_dev = max(1, int(len(rows) * dev_ratio)) if rows else 0
+    # dev_ratio == 0 means "all data in train" — no forced dev utterance
+    n_dev = (max(1, int(len(rows) * dev_ratio))
+             if rows and dev_ratio > 0 else 0)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "train.txt"), "w", encoding="utf-8") as f:
         f.write("\n".join(rows[n_dev:]))

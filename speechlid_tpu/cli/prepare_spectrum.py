@@ -49,6 +49,8 @@ def convert(jsonl_path: str, out_npy: str, dtype: str = "int16"):
     if len(widths) != 1:
         raise SystemExit(f"ragged rows: saw shapes {sorted(widths)}")
     data = np.stack(rows).astype(np.dtype(dtype))
+    if not out_npy.endswith(".npy"):
+        out_npy += ".npy"  # np.save appends it anyway; keep paths in sync
     np.save(out_npy, data)
     sidecar = os.path.splitext(out_npy)[0] + ".dates.json"
     with open(sidecar, "w") as f:

@@ -23,6 +23,7 @@ import argparse
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
@@ -58,9 +59,20 @@ class _DeviceLoop:
             out["event"].set()
 
     def call(self, fn, *args):
-        if not self._started:
-            # warmup phase: we ARE the main thread — execute inline
+        if not self._started and threading.current_thread() is threading.main_thread():
+            # warmup phase on the main thread — execute inline
             return fn(*args)
+        if not self._started:
+            # a request can land in the window between the HTTP server
+            # starting and run_forever() flipping _started — running jax
+            # inline HERE (a handler thread) would crash the TPU worker;
+            # wait briefly for the loop (tests that never start a loop
+            # still fall through to inline after the grace period)
+            deadline = time.monotonic() + 5.0
+            while not self._started and time.monotonic() < deadline:
+                time.sleep(0.01)
+            if not self._started:
+                return fn(*args)
         out = {"event": threading.Event()}
         self._q.put((fn, args, out))
         out["event"].wait()
@@ -141,6 +153,11 @@ class InferenceState:
         t = self._bucket(len(wav))
         padded = np.zeros(t, np.float32)
         padded[: min(len(wav), t)] = wav[:t]
+        # same anti-degenerate guard as lid(): a silent request must not
+        # hand the axon kernel constant audio (async fault poisons the
+        # worker for every later request)
+        padded += (1e-6 * np.random.default_rng(0).standard_normal(
+            padded.shape)).astype(np.float32)
         with self.lock:
             out = self._device.call(
                 lambda: np.asarray(self.se_fn(padded), np.float32)

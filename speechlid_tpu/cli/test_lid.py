@@ -58,8 +58,7 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
     from speechlid_tpu.core import load_config
-    from speechlid_tpu.core.checkpoint import load_checkpoint
-    from speechlid_tpu.core.checkpoint import restore_state
+    from speechlid_tpu.core.checkpoint import load_checkpoint, restore_params
     from speechlid_tpu.cli.main_lid import build_data, build_feeder
     from speechlid_tpu.eval import LidEvaluator, NoiseBank, run_sweep
     from speechlid_tpu.tasks import LidASRTask
@@ -74,17 +73,17 @@ def main(argv=None) -> None:
     hparams.update(module_conf)
     task = LidASRTask(tokenizers=data["tokenizers"], **hparams)
 
-    # restore params through a template init
-    feeder = build_feeder(conf, data["val_dataset"] or data["dataset"])
+    # restore params through a template init (train=False: offline eval
+    # must NEVER run the training wav augmentation)
+    feeder = build_feeder(conf, data["val_dataset"] or data["dataset"],
+                          train=False)
     sample = next(iter(feeder))
     variables = task.init_variables(
         __import__("jax").random.PRNGKey(0), sample
     )
     from flax import serialization
 
-    params = serialization.from_state_dict(
-        variables["params"], payload["state"]["params"]
-    )
+    params = restore_params(variables["params"], payload)
     model_state = payload["state"].get("model_state") or {}
     restored = {"params": params}
     for k, v in (variables.items()):
@@ -132,7 +131,8 @@ def main(argv=None) -> None:
     )
 
     def feeder_factory():
-        f = build_feeder(conf, data["val_dataset"] or data["dataset"])
+        f = build_feeder(conf, data["val_dataset"] or data["dataset"],
+                         train=False)
         f.arrays_only = False
         return f
 

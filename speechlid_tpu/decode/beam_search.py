@@ -168,7 +168,11 @@ class BeamSearchDecoderWithLM:
         lengths = np.ascontiguousarray(log_probs_length, dtype=np.int32)
         if self._lib is None:
             return self._python_fallback(probs, lengths)
-        out_stride = 4 * t + 8  # generous UTF-8 budget
+        # UTF-8 budget scales with the vocab's LONGEST token: with word/
+        # BPE pieces a T-frame hypothesis can exceed 4·T bytes and the C++
+        # side clamps the copy — silent mid-sentence truncation otherwise
+        max_tok = max((len(s.encode()) for s in self.vocab), default=1)
+        out_stride = max(4, max_tok) * t + 8
         out_buf = ctypes.create_string_buffer(b * out_stride)
         scores = (ctypes.c_double * b)()
         vocab_arr = (ctypes.c_char_p * len(self.vocab))(

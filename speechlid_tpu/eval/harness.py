@@ -118,6 +118,14 @@ class LidEvaluator:
     # ------------------------------------------------------------------ core
     def _corrupt(self, wavs: np.ndarray, lengths: np.ndarray,
                  snr_db: Optional[float], noise_name: Optional[str]):
+        if snr_db is not None and (self.noise_bank is None
+                                   or noise_name is None):
+            # a result labeled "SNR=x" must never secretly be clean audio
+            raise ValueError(
+                f"snr_db={snr_db} requested but "
+                f"{'no noise bank was loaded' if self.noise_bank is None else 'no noise name was given'}"
+                " — pass --noise-dir and --noise (or drop --snr)"
+            )
         if snr_db is None or self.noise_bank is None or noise_name is None:
             out = wavs
         else:
@@ -176,10 +184,12 @@ class LidEvaluator:
                 top2 = np.sort(prob[i])[-2:]
                 if (
                     self.lms
+                    and len(top2) >= 2  # pure-ASR: nothing to arbitrate
                     and top2[1] - top2[0] < self.kenlm_threshold
                 ):
                     arbitrated += 1
-                    pred[i] = self._lm_select(logits[:, i], feat_lens[i])
+                    pred[i] = self._lm_select(logits[:, i], feat_lens[i],
+                                              default=int(pred[i]))
 
             langs = batch.langs[:nv]
             correct += int((pred == langs).sum())
@@ -234,10 +244,13 @@ class LidEvaluator:
                      result.as_dict())
         return result
 
-    def _lm_select(self, logits_all: np.ndarray, feat_len: int) -> int:
+    def _lm_select(self, logits_all: np.ndarray, feat_len: int,
+                   default: int = 0) -> int:
         """Greedy-decode every head, pick lowest-perplexity language
-        (lm_select, test.py:202-220)."""
-        best_lang, best_ppl = 0, float("inf")
+        (lm_select, test.py:202-220).  ``default`` (the model's own
+        argmax) wins when no LM produces a finite perplexity — a missing
+        LM or all-blank decodes must not force language 0."""
+        best_lang, best_ppl = default, float("inf")
         vmax = max(self.task.vocab_sizes)
         for lang, idx in self.task.lang2index.items():
             tok = self.task.tokenizers.get(lang)

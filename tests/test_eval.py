@@ -107,6 +107,35 @@ class TestEvaluator:
         res = ev.evaluate(feeder_factory(), snr_db=5.0, noise="white")
         assert res.n_utts == 12
 
+    def test_snr_without_noise_raises(self, setup):
+        """A result labeled SNR=x must never secretly be clean audio:
+        requesting an SNR with no noise bank/name is an error, not a
+        silent clean eval."""
+        task, variables, feeder_factory, bank = setup
+        ev = LidEvaluator(task, variables)  # no noise bank
+        with pytest.raises(ValueError):
+            ev.evaluate(feeder_factory(), snr_db=5.0, noise="white")
+        ev2 = LidEvaluator(task, variables, noise_bank=bank)
+        with pytest.raises(ValueError):
+            ev2.evaluate(feeder_factory(), snr_db=5.0)  # no noise name
+
+    def test_lm_select_keeps_argmax_when_no_finite_ppl(self, setup):
+        """All-inf perplexities (missing LMs / blank decodes) must keep
+        the model's own argmax, not force language index 0."""
+        import numpy as np
+
+        task, variables, feeder_factory, bank = setup
+
+        class _InfLM:
+            def perplexity(self, text):
+                return float("inf")
+
+        ev = LidEvaluator(task, variables,
+                          lms={l: _InfLM() for l in task.lang2index})
+        logits_all = np.zeros(
+            (len(task.lang2index), 10, max(task.vocab_sizes) + 1), np.float32)
+        assert ev._lm_select(logits_all, 10, default=2) == 2
+
     def test_csv_dump(self, setup, tmp_path):
         task, variables, feeder_factory, bank = setup
         ev = LidEvaluator(task, variables, noise_bank=bank)
