@@ -162,6 +162,58 @@ class _PallasDepthwise(nn.Module):
         )
 
 
+class _MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics exclude padded frames.
+
+    The reference normalizes over batch-max-padded tensors (so its stats
+    are already padding-contaminated); bucketed static shapes pad MORE,
+    so here valid-frame masking is required, not optional.  Param/state
+    leaf names match flax ``nn.BatchNorm`` ('scale'/'bias',
+    batch_stats 'mean'/'var') — checkpoints are interchangeable."""
+
+    use_running_average: bool
+    momentum: float = 0.99  # flax nn.BatchNorm default
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, mask: Optional[jax.Array] = None
+    ) -> jax.Array:  # x (B, T, C); mask (B, T) True = valid
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                mean = xf.mean(axis=(0, 1))
+                var = xf.var(axis=(0, 1))
+            else:
+                m = mask[..., None].astype(jnp.float32)
+                n = jnp.maximum(m.sum(axis=(0, 1)), 1.0)
+                mean = (xf * m).sum(axis=(0, 1)) / n
+                var = (jnp.square(xf) * m).sum(axis=(0, 1)) / n - jnp.square(
+                    mean
+                )
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class ConformerConvModule(nn.Module):
     """LN → pointwise(2·expansion) → GLU → depthwise k31 'same' → BN →
     Swish → pointwise → dropout (conformer.py:174-208)."""
@@ -227,9 +279,9 @@ class ConformerConvModule(nn.Module):
                 name="depthwise",
             )(fence(y))
             y = fence(y)
-        y = nn.BatchNorm(
+        y = _MaskedBatchNorm(
             use_running_average=deterministic, dtype=self.dtype, name="bn"
-        )(y)
+        )(y, pad_mask)
         y = act(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(y)
@@ -273,6 +325,9 @@ class ConformerBlock(nn.Module):
             self.conv_dropout, self.use_double_swish, self.dtype, name="conv",
         )
         x = conv(x, deterministic, pad_mask=mask) + x
+        # ff2 deliberately ignores use_double_swish: the reference builds
+        # its second half-FFN WITHOUT the flag (conformer.py:244) while
+        # ff1/conv honor it — parity, not an oversight
         ff2 = FeedForward(
             self.dim, self.ff_mult, self.ff_dropout, False, self.dtype, name="ff2"
         )

@@ -58,7 +58,6 @@ def normalize_wav(wav: jax.Array, lengths: Optional[jax.Array] = None) -> jax.Ar
         var = jnp.sum(((wav - mean) * mask) ** 2, axis=-1, keepdims=True) / jnp.maximum(
             n - 1.0, 1.0
         )
-        mean = mean * jnp.sign(n)  # keep zeros where mask empty
     std = jnp.sqrt(var)
     out = (wav - mean) / (std + 1e-6)
     if lengths is not None:

@@ -89,7 +89,37 @@ def _dw_bwd(res, g):
 
 def _dw_forward_swapped(x, w, pad_l):
     """_dw_forward with an explicit left halo (for the flipped backward
-    when k is even; identical to _dw_forward for odd k)."""
+    when k is even; identical to _dw_forward for odd k).
+
+    Dispatch is on the LOWERING platform, not the process default: the
+    same trace may be lowered for CPU (CPU-backend param init, multi-
+    backend jit — the exact combination the bf16-axon flagship uses), and
+    a Mosaic TPU kernel lowered for CPU crashes.  Non-TPU lowerings take
+    the plain XLA grouped conv (numerically identical; the compile-hang
+    this kernel works around is axon-TPU-only).  Set
+    SPEECHLID_DW_INTERPRET=1 to force the interpret-mode kernel anywhere
+    (the parity tests do)."""
+    import os
+
+    if os.environ.get("SPEECHLID_DW_INTERPRET"):
+        return _pallas_impl(x, w, pad_l, interpret=True)
+    return jax.lax.platform_dependent(
+        x, w,
+        tpu=functools.partial(_pallas_impl, pad_l=pad_l, interpret=False),
+        default=functools.partial(_xla_impl, pad_l=pad_l),
+    )
+
+
+def _xla_impl(x, w, pad_l):
+    """Plain grouped conv with an explicit halo — the non-TPU lowering."""
+    k, c = w.shape
+    return jax.lax.conv_general_dilated(
+        x, w[:, None, :], (1,), [(pad_l, k - 1 - pad_l)],
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c,
+    )
+
+
+def _pallas_impl(x, w, pad_l, interpret):
     b, t, c = x.shape
     k = w.shape[0]
     c_pad = _round_up(c, 128)
@@ -97,7 +127,6 @@ def _dw_forward_swapped(x, w, pad_l):
     t_in = _round_up(t_out + k - 1, 8)
     xp = jnp.pad(x, [(0, 0), (pad_l, t_in - t - pad_l), (0, c_pad - c)])
     wp = jnp.pad(w, [(0, _round_up(k, 8) - k), (0, c_pad - c)])
-    interpret = jax.devices()[0].platform not in ("tpu",)
     out = pl.pallas_call(
         functools.partial(_dw_kernel_3d, k=k),
         grid=(b,),

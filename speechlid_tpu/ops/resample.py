@@ -82,10 +82,6 @@ def speed_perturb(
         return wav[..., :output_len] if wav.shape[-1] >= output_len else jnp.pad(
             wav, [(0, 0)] * (wav.ndim - 1) + [(0, output_len - wav.shape[-1])]
         )
-    num, den = (
-        jnp.asarray(speed).item() if hasattr(speed, "item") else speed,
-        1.0,
-    )
     # express speed as a rational with denominator 100 (0.9→9/10, 1.1→11/10)
     frac_num = int(round(speed * 100))
     g = math.gcd(frac_num, 100)

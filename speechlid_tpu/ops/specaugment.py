@@ -131,17 +131,21 @@ def phase_vocoder(
     """
     if isinstance(spec, tuple):
         re, im = spec
+        mag = jnp.sqrt(re * re + im * im)
     else:
-        re, im = jnp.asarray(spec), jnp.zeros_like(spec)
+        # REAL input (e.g. signed dB-mel features from fused_frontend):
+        # interpolate the values themselves — sqrt(re²)=|spec| would flip
+        # every negative dB value before interpolation
+        re = jnp.asarray(spec)
+        mag = re
     if rate == 1.0:
-        return jnp.sqrt(re * re + im * im) if isinstance(spec, tuple) else spec
+        return mag
     t = re.shape[-1]
     phi_advance = jnp.linspace(0, jnp.pi * hop_length, n_freq)[:, None]
     steps = jnp.arange(0, t, rate)  # static length under static t/rate
     idx_low = jnp.floor(steps).astype(jnp.int32)
     idx_high = jnp.minimum(idx_low + 1, t - 1)
     alphas = (steps % 1.0)[None, None, :]
-    mag = jnp.sqrt(re * re + im * im)
     mag_interp = (1.0 - alphas) * mag[..., idx_low] + alphas * mag[..., idx_high]
     # phase continuity only matters for complex reconstruction; the magnitude
     # (what the reference consumes) is phase-independent, but we still track

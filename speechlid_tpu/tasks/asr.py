@@ -15,6 +15,7 @@ from __future__ import annotations
 import logging
 from typing import Any, Dict, List, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from speechlid_tpu.data.tokenizer import CTCTokenizer
@@ -86,11 +87,13 @@ class ASRTask(LidASRTask):
             if lp is None:
                 logging.warning("beam decode needs 'log_probs' in outputs")
                 return result
-            probs = np.exp(np.asarray(lp))
-            feat_lens = np.asarray(out["feat_lens"])
+            # slice repeat-padded duplicate rows like the greedy path
+            nv = int(out.get("n_valid", 0)) or len(np.asarray(out["langs"]))
+            probs = np.exp(np.asarray(lp))[:nv]
+            feat_lens = np.asarray(out["feat_lens"])[:nv]
             hyps = decoder.forward(probs, feat_lens)
-            texts = np.asarray(out["texts"])
-            text_lens = np.asarray(out["text_lengths"])
+            texts = np.asarray(out["texts"])[:nv]
+            text_lens = np.asarray(out["text_lengths"])[:nv]
             refs = [
                 self.tokenizer.decoder(
                     texts[i : i + 1], [int(text_lens[i])]
@@ -102,12 +105,29 @@ class ASRTask(LidASRTask):
         return result
 
     def val_loop(self, variables, batch):
-        out = super().val_loop(variables, batch)
-        # keep per-frame log-probs of the (single) own head for beam decode
+        # ONE forward: rebuild the parent's output dict from a single
+        # _forward_ctc instead of calling super() (which runs the whole
+        # encoder again just to discard its log-probs)
+        from speechlid_tpu.models.multilang import lang_confidence_scores
+
         loss, logits, lp, feat_lens, _ = self._forward_ctc(
             variables, batch, None, True
         )
-        out["log_probs"] = lp
+        scores = lang_confidence_scores(
+            logits, jnp.asarray(self.vocab_sizes), feat_lens
+        )
+        out = {
+            "loss": loss,
+            "scores": scores,
+            "pred_ids": jnp.argmax(lp, axis=-1).astype(jnp.int32),
+            "feat_lens": feat_lens,
+            "langs": batch["langs"],
+            "texts": batch["texts"],
+            "text_lengths": batch["text_lengths"],
+            "log_probs": lp,
+        }
+        if "n_valid" in batch:
+            out["n_valid"] = batch["n_valid"]
         return out
 
 

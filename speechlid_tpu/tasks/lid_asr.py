@@ -55,6 +55,7 @@ class LidASRTask(TaskModule):
     rng_keys = (
         "dropout", "stochastic_depth", "specaug", "params",
         "mask", "mask_channel",  # SSL span/channel masking streams
+        "layerdrop",  # WavLM encoder_layerdrop > 0 draws per-layer keeps
     )
 
     def __init__(

@@ -29,7 +29,8 @@ from speechlid_tpu.ops.frontend import (
 
 
 class LidCrossEntropyTask(TaskModule):
-    rng_keys = ("dropout", "specaug", "params", "mask", "mask_channel")
+    rng_keys = ("dropout", "specaug", "params", "mask", "mask_channel",
+                "layerdrop")  # layerdrop: WavLM encoder_layerdrop > 0
 
     def __init__(
         self,
@@ -177,7 +178,9 @@ class LidCrossEntropyTask(TaskModule):
         def mask_leaf(path, leaf):
             keys = "/".join(getattr(p, "key", str(p)) for p in path)
             frozen = keys.startswith("upstream")
-            return jnp.asarray(0.0 if frozen else 1.0)
+            # numpy scalars, NOT jnp: eager per-leaf device ops destabilize
+            # the axon worker (same fix as lid_asr.before_train_loop)
+            return np.asarray(0.0 if frozen else 1.0, np.float32)
 
         return jax.tree_util.tree_map_with_path(
             mask_leaf, self.trainer.state.params

@@ -322,3 +322,54 @@ class TestConformerRemat:
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestMaskedBatchNorm:
+    def test_train_stats_ignore_padding(self):
+        """Training-mode BN batch statistics must come from valid frames
+        only: garbage in the padded tail cannot change valid outputs."""
+        from speechlid_tpu.models.conformer import ConformerConvModule
+
+        rng = np.random.RandomState(0)
+        x1 = rng.randn(2, 40, 32).astype(np.float32)
+        x2 = x1.copy()
+        x2[:, 25:, :] = 50.0  # garbage padding
+        mask = jnp.arange(40)[None, :] < 25
+        mask = jnp.broadcast_to(mask, (2, 40))
+        m = ConformerConvModule(dim=32, conv_barrier=False)
+        v = m.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x1))
+        def run(x):
+            y, mut = m.apply(
+                v, jnp.asarray(x), deterministic=False, pad_mask=mask,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)},
+            )
+            return np.asarray(y), mut["batch_stats"]
+        y1, bs1 = run(x1)
+        y2, bs2 = run(x2)
+        # conv halo reaches 15 frames past the boundary; interior equal
+        np.testing.assert_allclose(y1[:, :10], y2[:, :10], rtol=1e-4,
+                                   atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(bs1),
+                        jax.tree_util.tree_leaves(bs2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_eval_matches_flax_batchnorm_defaults(self):
+        """Fresh-init eval behavior equals flax nn.BatchNorm (mean 0,
+        var 1, same eps/affine) — checkpoint interchangeability."""
+        import flax.linen as fnn
+
+        from speechlid_tpu.models.conformer import _MaskedBatchNorm
+
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 9, 16), jnp.float32)
+        ours = _MaskedBatchNorm(use_running_average=True)
+        ref = fnn.BatchNorm(use_running_average=True)
+        vo = ours.init(jax.random.PRNGKey(0), x)
+        vr = ref.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(vo)
+                == jax.tree_util.tree_structure(vr))
+        np.testing.assert_allclose(
+            np.asarray(ours.apply(vo, x)), np.asarray(ref.apply(vr, x)),
+            rtol=1e-5, atol=1e-6,
+        )

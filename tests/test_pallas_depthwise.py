@@ -2,12 +2,17 @@
 (forward + all grads), and drop-in param compatibility inside
 ConformerConvModule.  Runs in interpret mode on CPU."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax import lax
 
+os.environ["SPEECHLID_DW_INTERPRET"] = "1"  # force the kernel (interpret)
+# off-TPU the production path dispatches to the XLA grouped conv; these
+# tests exist to pin the KERNEL's numerics
 from speechlid_tpu.ops.pallas.depthwise_kernel import depthwise_conv1d
 
 
