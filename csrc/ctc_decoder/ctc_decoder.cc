@@ -158,6 +158,14 @@ class ArpaLM : public NgramModelBase {
     std::vector<std::string> ctx = context;
     int keep = std::min<int>(ctx.size(), max_order_ - 1);
     ctx.assign(ctx.end() - keep, ctx.end());
+    // KenLM semantics: every token without a unigram entry IS <unk>, so
+    // n-grams and backoff weights involving <unk> participate (the
+    // binary loaders resolve OOV to word id 0 the same way)
+    if (probs_.count("<unk>")) {
+      for (auto& w : ctx)
+        if (!probs_.count(w)) w = "<unk>";
+      if (!probs_.count(word)) return ScoreBackoff(ctx, "<unk>");
+    }
     return ScoreBackoff(ctx, word);
   }
 
@@ -173,22 +181,20 @@ class ArpaLM : public NgramModelBase {
 
   double ScoreBackoff(std::vector<std::string> ctx,
                       const std::string& word) const {
-    while (true) {
+    double total = 0.0;
+    for (;;) {  // iterative context shortening, accumulating backoffs
       std::vector<std::string> full = ctx;
       full.push_back(word);
       auto it = probs_.find(Join(full));
-      if (it != probs_.end()) return it->second;
+      if (it != probs_.end()) return total + it->second;
       if (ctx.empty()) {
         // unknown unigram → <unk> if present, else hard penalty
         auto unk = probs_.find("<unk>");
-        return unk != probs_.end() ? unk->second : kOovPenalty;
+        return total + (unk != probs_.end() ? unk->second : kOovPenalty);
       }
-      double bo = 0.0;
       auto bit = backoffs_.find(Join(ctx));
-      if (bit != backoffs_.end()) bo = bit->second;
+      if (bit != backoffs_.end()) total += bit->second;
       ctx.erase(ctx.begin());
-      // recurse with shorter context + backoff weight
-      return bo + ScoreBackoff(ctx, word);
     }
   }
 
@@ -273,6 +279,11 @@ class ProbingKenLM : public NgramModelBase {
     // uint64) then FixedWidthParameters then uint64 counts[order].
     const size_t kSanity = 88, kFixed = 20;
     unsigned char order = data_[kSanity];
+    if (order < 1 || order > 16 ||
+        data_.size() < kSanity + kFixed + 8ull * order) {
+      if (error) *error = "corrupt KenLM binary: bad order/truncated header";
+      return false;
+    }
     float multiplier;
     int32_t model_type;
     std::memcpy(&multiplier, data_.data() + kSanity + 4, 4);
@@ -498,6 +509,11 @@ class TrieKenLM : public NgramModelBase {
       return false;
     const size_t kSanity = 88, kFixed = 20;
     unsigned char order = d[kSanity];
+    if (order < 1 || order > 16 ||
+        size < kSanity + kFixed + 8ull * order) {
+      if (error) *error = "corrupt KenLM binary: bad order/truncated header";
+      return false;
+    }
     int32_t model_type;
     std::memcpy(&model_type, d + kSanity + 8, 4);
     if (model_type < 2 || model_type > 5) return false;  // not trie family
@@ -835,7 +851,8 @@ struct Scorer {
   double beta = 0.0;
   std::shared_ptr<NgramModelBase> lm;
 
-  // score of the last word of `prefix_words` given the preceding ones
+  // score of the last word of `prefix_words` given the preceding ones;
+  // an empty last word (consecutive spaces) scores as unknown
   double WordBonus(const std::vector<std::string>& words) const {
     if (!lm || words.empty()) return beta;
     std::vector<std::string> ctx(words.begin(), words.end() - 1);
@@ -890,6 +907,20 @@ std::vector<std::string> PrefixWords(const Prefix& p,
   return split_ws(PrefixToText(p, vocab));
 }
 
+// Words to hand Scorer::WordBonus when a SPACE extends `prefix`: the word
+// completed by the space is the prefix's trailing non-space run.  A prefix
+// that is empty or already ends in space completes an EMPTY word, which is
+// scored as unknown (upstream scorer semantics) — re-scoring the previous
+// word here used to hand consecutive-space hypotheses an unbounded free
+// alpha*logP+beta boost per extra space.
+std::vector<std::string> SpaceBonusWords(
+    const Prefix& prefix, const std::vector<std::string>& vocab,
+    int space_id) {
+  std::vector<std::string> words = PrefixWords(prefix, vocab);
+  if (prefix.empty() || prefix.back() == space_id) words.push_back("");
+  return words;
+}
+
 // one utterance: probs (T, V) softmax probabilities
 std::vector<std::pair<std::string, double>> DecodeOne(
     const float* probs, int T, int V, const std::vector<std::string>& vocab,
@@ -910,7 +941,7 @@ std::vector<std::pair<std::string, double>> DecodeOne(
     int used = 0;
     for (; used < keep; ++used) {
       cum += frame[used].first;
-      if (cum >= prm.cutoff_prob && used + 1 >= 1) { ++used; break; }
+      if (cum >= prm.cutoff_prob) { ++used; break; }
     }
 
     std::unordered_map<Prefix, BeamEntry, PrefixHash> next;
@@ -940,7 +971,8 @@ std::vector<std::pair<std::string, double>> DecodeOne(
             if (ne.pb == kLogZero && ne.pnb == kLogZero) {
               ne.lm_score = entry.lm_score;
               if (scorer && s == prm.space_id)
-                ne.lm_score += scorer->WordBonus(PrefixWords(prefix, vocab));
+                ne.lm_score += scorer->WordBonus(
+                    SpaceBonusWords(prefix, vocab, prm.space_id));
             }
             ne.pnb = log_sum_exp10(ne.pnb, entry.pb + lp);
           }
@@ -951,7 +983,8 @@ std::vector<std::pair<std::string, double>> DecodeOne(
           if (ne.pb == kLogZero && ne.pnb == kLogZero) {
             ne.lm_score = entry.lm_score;
             if (scorer && s == prm.space_id)
-              ne.lm_score += scorer->WordBonus(PrefixWords(prefix, vocab));
+              ne.lm_score += scorer->WordBonus(
+                  SpaceBonusWords(prefix, vocab, prm.space_id));
           }
           ne.pnb = log_sum_exp10(
               ne.pnb, log_sum_exp10(entry.pb, entry.pnb) + lp);
@@ -1016,7 +1049,7 @@ int SniffKenLMType(const char* path) {
 }
 }
 
-void* ngram_load(const char* path) {
+void* ngram_load(const char* path) try {
   g_ngram_error.clear();
   // header sniff dispatches to exactly one loader (a big file is read
   // once); anything that isn't a KenLM v5 binary falls back to text ARPA
@@ -1048,6 +1081,15 @@ void* ngram_load(const char* path) {
     return nullptr;
   }
   return lm;
+} catch (const std::exception& e) {
+  // never let a C++ exception cross the C ABI into ctypes (std::terminate
+  // would kill the whole Python process): bad_alloc on a huge file,
+  // stoi on a malformed ARPA header, ...
+  g_ngram_error = e.what();
+  return nullptr;
+} catch (...) {
+  g_ngram_error = "unknown C++ exception during LM load";
+  return nullptr;
 }
 
 const char* ngram_last_error() { return g_ngram_error.c_str(); }
@@ -1099,11 +1141,7 @@ int ctc_beam_search_batch(const float* probs, int B, int Tmax, int V,
 
   const Scorer* sc = static_cast<const Scorer*>(scorer);
   std::vector<std::thread> workers;
-  std::mutex err_mutex;
-  int err = 0;
   int nthreads = std::max(1, num_threads);
-  std::vector<int> items(B);
-  for (int i = 0; i < B; ++i) items[i] = i;
 
   auto work = [&](int tid) {
     for (int b = tid; b < B; b += nthreads) {
@@ -1122,7 +1160,7 @@ int ctc_beam_search_batch(const float* probs, int B, int Tmax, int V,
   };
   for (int t = 0; t < nthreads; ++t) workers.emplace_back(work, t);
   for (auto& w : workers) w.join();
-  return err;
+  return 0;
 }
 
 }  // extern "C"

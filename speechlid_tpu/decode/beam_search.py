@@ -30,16 +30,26 @@ _lib = None
 
 
 def build_native_library(force: bool = False) -> Optional[str]:
-    """Compile libctc_decoder.so if missing; returns path or None."""
-    if os.path.exists(_LIB_PATH) and not force:
-        return _LIB_PATH
+    """(Re)compile libctc_decoder.so; returns path or None.
+
+    ALWAYS invokes make — its timestamp check makes an up-to-date build a
+    no-op, while returning an existing .so unconditionally would silently
+    keep serving a binary built from older sources after a .cc edit."""
     try:
+        if force:
+            subprocess.run(["make", "-C", _CSRC, "clean"],
+                           capture_output=True, text=True)
         subprocess.run(
             ["make", "-C", _CSRC], check=True, capture_output=True, text=True
         )
         return _LIB_PATH
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         out = getattr(e, "stderr", "")
+        if os.path.exists(_LIB_PATH):
+            # no toolchain here but a prebuilt library exists — use it
+            logging.warning("ctc_decoder rebuild failed (%s); using the "
+                            "existing binary", e)
+            return _LIB_PATH
         logging.warning("ctc_decoder native build failed: %s\n%s", e, out)
         return None
 

@@ -235,6 +235,52 @@ class TestBeamSearch:
         )
         assert with_lm.forward(probs, lengths)[0].strip() == "b"
 
+    def test_no_consecutive_space_bonus_exploit(self, lib_built, tmp_path):
+        """Each space used to re-score the PREVIOUS word (+alpha*logP+beta
+        per extra space) — degenerate space-padded hypotheses could
+        outrank real ones.  A space completing an EMPTY word must score
+        as unknown (huge penalty), so double spaces never win."""
+        arpa = tmp_path / "w.arpa"
+        arpa.write_text(
+            "\\data\\\nngram 1=3\n\n\\1-grams:\n"
+            "-0.1\t<s>\t-0.1\n-0.1\t</s>\n-0.2\ta\t-0.1\n"
+            "\n\\end\\\n"
+        )
+        V = len(self.VOCAB) + 1
+        T = 5
+        probs = np.full((1, T, V), 0.01, np.float32)
+        probs[0, 0, 1] = 0.9    # 'a'
+        probs[0, 1, 0] = 0.9    # space (completes 'a')
+        probs[0, 2, 0] = 0.48   # space vs blank ambiguous
+        probs[0, 2, 4] = 0.44
+        probs[0, 3, 0] = 0.48
+        probs[0, 3, 4] = 0.44
+        probs[0, 4, 1] = 0.9    # 'a'
+        probs /= probs.sum(-1, keepdims=True)
+        dec = BeamSearchDecoderWithLM(
+            self.VOCAB, beam_width=16, alpha=1.0, beta=3.0,
+            lm_path=str(arpa),
+        )
+        hyp = dec.forward(probs, np.asarray([T], np.int32))[0]
+        assert "  " not in hyp, hyp
+
+    def test_arpa_unk_ngrams_participate(self, lib_built, tmp_path):
+        """KenLM maps every OOV token to <unk>, so n-grams/backoffs
+        involving <unk> apply; literal-string lookup missed them."""
+        arpa = tmp_path / "unk.arpa"
+        arpa.write_text(
+            "\\data\\\nngram 1=5\nngram 2=1\n\n\\1-grams:\n"
+            "-0.1\t<s>\t-0.1\n-0.1\t</s>\n"
+            "-1.0\t<unk>\t-0.3\n-0.5\ta\t-0.3\n-0.7\tb\n"
+            "\n\\2-grams:\n-0.2\t<unk> b\n\n\\end\\\n"
+        )
+        lm = NgramLM(str(arpa))
+        # "zzz" is OOV → <unk>:
+        #   P(<unk>|<s>)  = backoff(<s>) -0.1 + unigram -1.0 = -1.1
+        #   P(b|<unk>)    = bigram "<unk> b"                = -0.2
+        #   P(</s>|b)     = unigram                          = -0.1
+        assert abs(lm.score("zzz b") - (-1.4)) < 1e-6, lm.score("zzz b")
+
     def test_throughput_smoke(self, lib_built):
         """Batched multithreaded decode of realistic sizes completes fast."""
         import time
