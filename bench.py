@@ -4,7 +4,9 @@ Driver-facing: prints ONE JSON line
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}`` —
 UNCONDITIONALLY.  The orchestrator is deadline-proof:
 
-- the headline stage (WavLM f32 batch-32) runs FIRST;
+- the chip-free CPU reference runs first (it also absorbs a recovering
+  worker's lag), then the headline WavLM f32 batch sweep (b128 point
+  first — the measured knee) before everything else;
 - a global wall-clock budget (env ``SPEECHLID_BENCH_BUDGET_S``, default
   500 s) is enforced between stages and caps every child's timeout, so the
   parent always finishes before a ``timeout 600`` driver kill;
@@ -165,9 +167,11 @@ def _throughput(fn, make_input, batch: int, iters: int) -> float:
     """utt/s with distinct inputs per iteration; host-materialized sync."""
     _sync(fn(make_input(0)))  # compile + warm
     inputs = [make_input(i + 1) for i in range(iters)]
-    import jax
-
-    jax.block_until_ready(inputs)
+    # settle the H2D transfers with a HOST FETCH of the last input —
+    # block_until_ready can resolve early on this backend (see _sync), and
+    # in-order execution means the last transfer landing implies them all;
+    # otherwise hundreds of MB of tunnel transfer bill into the window
+    _sync(inputs[-1])
     t0 = time.perf_counter()
     out = None
     for w in inputs:
@@ -177,51 +181,15 @@ def _throughput(fn, make_input, batch: int, iters: int) -> float:
 
 
 def bench_model(model_fn, device, dtype_name: str, batch: int, iters: int):
-    """→ (utt/s, mfu) for a flagship builder on one device."""
-    import jax
-    import jax.numpy as jnp
-
-    from speechlid_tpu.models.multilang import MutiLangModel
-
-    model, flops_utt = model_fn(dtype_name)
-    t = 48000
-    rng = np.random.RandomState(0)
-    # init params on the CPU backend with a 1-utt input: params don't
-    # depend on batch/length, and this avoids burning a whole extra
-    # device compile of the big model (tunneled-chip compiles are minutes)
-    cpu = _device("cpu")
-    key = jax.random.PRNGKey(0)
-    with jax.default_device(cpu):
-        variables = model.init(
-            {"params": key, "dropout": key, "stochastic_depth": key},
-            jnp.zeros((1, 4000), jnp.float32) + 1e-3,
-            jnp.full((1,), 4000, jnp.int32),
-            method=MutiLangModel.infer,
-        )
-    with jax.default_device(device):
-        variables = jax.device_put(variables, device)
-        lengths = jnp.full((batch,), t, jnp.int32)
-
-        # NOTE: variables MUST be a jit argument, not a closure — closed-over
-        # params become inline HLO constants, and the tunneled device ships
-        # the serialized program over POST /remote_compile, which rejects
-        # multi-hundred-MB bodies with HTTP 413
-        @jax.jit
-        def infer(variables, wavs):
-            out = model.apply(
-                variables, wavs, lengths, method=MutiLangModel.infer
-            )
-            return out["scores"], out["pred_lang"]
-
-        def make_input(i):
-            return jnp.asarray(rng.randn(batch, t).astype(np.float32) * 0.1)
-
-        utt_s = _throughput(lambda w: infer(variables, w), make_input,
-                            batch, iters)
-    peak_key = "bf16" if dtype_name.startswith("bf16") else dtype_name
-    peak = V5E_PEAK_TFLOPS.get(peak_key, V5E_PEAK_TFLOPS["f32"]) * 1e12
-    mfu = flops_utt * utt_s / peak
-    return utt_s, mfu
+    """→ (utt/s, mfu) for a flagship builder on one device — the
+    single-point form of :func:`bench_model_sweep` (one code path: the
+    CPU-init trick, params-as-jit-args 413 workaround and MFU math live
+    only there)."""
+    out = bench_model_sweep(
+        model_fn, device, dtype_name, batches=(batch,), iters=iters
+    )
+    pt = out["sweep"][str(batch)]
+    return pt["utt_s"], pt["mfu"]
 
 
 def bench_model_sweep(model_fn, device, dtype_name: str, batches, iters: int):
@@ -540,10 +508,18 @@ def _run_child(stage: str, timeout_s: float):
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line), ("timeout (partial)" if timed_out
-                                          else None)
+                payload = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if timed_out:
+                return payload, "timeout (partial)"
+            if proc.returncode != 0:
+                # the child printed cumulative points then DIED (device
+                # fault mid-sweep): salvage the points but surface the
+                # fault so the orchestrator re-probes before the next
+                # device stage
+                return payload, f"rc={proc.returncode} (partial)"
+            return payload, None
     if timed_out:
         return None, "timeout"
     err = [
@@ -688,7 +664,7 @@ def main() -> None:
             # Gate matches the stage guard (45 s) so a healthy chip with a
             # thin-but-usable budget still gets its stage; back off between
             # fast-failing probes instead of respawning in a tight loop.
-            while _remaining() > 60.0:
+            while _remaining() > 45.0:
                 t_p = time.monotonic()
                 payload, _ = _run_child(
                     "probe", min(150.0, _remaining() - 30.0)
@@ -710,11 +686,12 @@ def main() -> None:
             if needs_accel:
                 healthy = False  # device stage died: assume fault
         else:
-            if err:  # partial sweep salvaged from a killed child
+            if err:  # partial sweep salvaged from a killed/dead child
                 payload = dict(payload, partial=err)
-                # points were landing when the cap expired — that is a
-                # planned kill of a healthy chip, not a fault; don't burn
-                # budget re-probing before the next stage
+                if needs_accel and not err.startswith("timeout"):
+                    healthy = False  # child DIED mid-sweep: device fault
+                # a cap-expiry kill ("timeout (partial)") means points
+                # were landing on a healthy chip — no re-probe needed
             _RESULTS[stage] = payload
     _emit()
 

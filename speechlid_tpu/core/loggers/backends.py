@@ -45,10 +45,18 @@ class JsonlLogger(BaseLogger):
         if self._fh is None:
             self.init("default")
         rec = {"step": step, "ts": time.time()}
-        rec.update(
-            {k: (float(v) if hasattr(v, "__float__") else v) for k, v in data.items()}
-        )
-        self._fh.write(json.dumps(rec) + "\n")
+        for k, v in data.items():
+            try:  # scalars (incl. 0-d arrays); arrays → lists; else repr
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                tolist = getattr(v, "tolist", None)
+                rec[k] = tolist() if tolist else v
+        try:
+            self._fh.write(json.dumps(rec) + "\n")
+        except TypeError:  # some non-serializable metric: degrade, don't die
+            rec = {k: (v if isinstance(v, (int, float, str, list, dict))
+                       else repr(v)) for k, v in rec.items()}
+            self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
 
     def finish(self) -> None:

@@ -88,8 +88,12 @@ def register_cost_statistic(need_return: bool = True) -> Callable:
         @wraps(fn)
         def wrapper(*args, **kwargs):
             t0 = time.perf_counter()
-            result = fn(*args, **kwargs)
-            _time_cost_recoder.update_recoder(key, time.perf_counter() - t0)
+            try:  # record even when fn raises (measure() semantics)
+                result = fn(*args, **kwargs)
+            finally:
+                _time_cost_recoder.update_recoder(
+                    key, time.perf_counter() - t0
+                )
             if need_return:
                 return result
             return None

@@ -291,12 +291,20 @@ class Trainer:
             data_size = self.mesh.shape[self.data_axis]
             sharded = NamedSharding(self.mesh, P(self.data_axis))
             replicated = NamedSharding(self.mesh, P())
+            multihost = jax.process_count() > 1
 
             def place(x):
                 x = np.asarray(x)
                 # scalars (e.g. n_valid) and odd leading dims replicate
                 ok = x.ndim >= 1 and x.shape[0] % data_size == 0
-                return jax.device_put(x, sharded if ok else replicated)
+                if not ok:
+                    return jax.device_put(x, replicated)
+                if multihost:
+                    # each process feeds its LOCAL sampler shard; a global
+                    # device_put would treat every process's (different)
+                    # array as the same global value
+                    return jax.make_array_from_process_local_data(sharded, x)
+                return jax.device_put(x, sharded)
 
             return jax.tree_util.tree_map(place, batch)
 

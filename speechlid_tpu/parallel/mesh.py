@@ -56,8 +56,21 @@ def make_mesh(
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host batch sharded along its leading axis."""
+    """Place a host batch sharded along its leading axis.
+
+    Single-process: a plain sharded device_put.  Multi-host: each
+    process passes its LOCAL shard and the global array is assembled with
+    ``make_array_from_process_local_data`` — a global device_put would
+    treat every process's (different) local array as the same global
+    value."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x), sharding), batch
     )
