@@ -639,8 +639,10 @@ def main() -> None:
         # transfer + startup amortize, and cumulative partial JSON means
         # even a timeout records the points measured so far
         ("wavlm_f32_sweep", 450.0, True),  # HEADLINE — first on device
-        ("wavlm_bf16mix_sweep", 450.0, True),
+        # frontend before the bf16mix sweep: rtf + p50 are named
+        # BASELINE.json metrics, the mixed sweep is supporting data
         ("frontend", 240.0, True),
+        ("wavlm_bf16mix_sweep", 450.0, True),
         ("conformer", 420.0, True),
         ("calib_f32", 150.0, True),
         ("calib_bf16", 150.0, True),
