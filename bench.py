@@ -639,18 +639,22 @@ def main() -> None:
         # transfer + startup amortize, and cumulative partial JSON means
         # even a timeout records the points measured so far
         ("wavlm_f32_sweep", 450.0, True),  # HEADLINE — first on device
-        # frontend before the bf16mix sweep: rtf + p50 are named
-        # BASELINE.json metrics, the mixed sweep is supporting data
+        # frontend before the bf16 sweep: rtf + p50 are named
+        # BASELINE.json metrics, the bf16 sweep is supporting data
         ("frontend", 240.0, True),
-        ("wavlm_bf16mix_sweep", 450.0, True),
+        # FULL bf16 (encoder + heads): the round-2 hang was fixed by the
+        # conv_barrier/Pallas depthwise work and confirmed on chip
+        # 2026-08-18 (1117 utt/s b128) — it supersedes the bf16-mixed
+        # workaround as the default bf16 stage
+        ("wavlm_bf16_sweep", 450.0, True),
         ("conformer", 420.0, True),
         ("calib_f32", 150.0, True),
         ("calib_bf16", 150.0, True),
     ]
-    if os.environ.get("SPEECHLID_BENCH_FULL_BF16"):
-        # full-bf16 WavLM+Conformer-head fusion: documented worker hang
-        # (docs/runs/CHIP_FINDINGS_r2.md "bf16 mapping") — opt-in only
-        stages.append(("wavlm_bf16", 420.0, True))
+    if os.environ.get("SPEECHLID_BENCH_BF16_MIXED"):
+        # the bf16-encoder/f32-head config that worked around the (now
+        # fixed) full-bf16 hang — kept measurable on demand
+        stages.append(("wavlm_bf16mix_sweep", 450.0, True))
 
     # None = unknown: the FIRST device stage is preceded by a cheap probe —
     # a wedged worker (recovery can hang 5-15 min) must not eat the
