@@ -103,6 +103,42 @@ class TestSSLJointTask:
         assert np.isfinite(m["avg_val_loss"])
         assert "eer" in m
 
+    def test_bf16_train_and_val_steps(self):
+        """Full-bf16 compute through the joint SSL task (the
+        configs/lid_wavlm_bf16.yaml path — measured-best training config
+        on chip, docs/runs/CHIP_FINDINGS_r3.md): params stay f32, loss
+        finite, fit runs."""
+        import jax.numpy as jnp
+
+        from speechlid_tpu.core import Trainer
+
+        task = LidASRTask(
+            lang2vocab={"aa": 6, "bb": 9},
+            lang2index={"aa": 0, "bb": 1},
+            featurizer="wavlm",
+            ssl_config=dict(TINY_SSL),
+            feature_selection="hidden_states",
+            dtype="bfloat16",
+            lr=1e-3, schedule=None,
+        )
+        rng = np.random.RandomState(0)
+        batch = {
+            "wavs": rng.randn(2, 3200).astype(np.float32),
+            "wav_lengths": np.asarray([3200, 3200], np.int32),
+            "texts": rng.randint(0, 5, (2, 6)).astype(np.int32),
+            "text_lengths": np.asarray([6, 6], np.int32),
+            "langs": np.asarray([0, 0], np.int32),
+        }
+        tr = Trainer(total_epoch=2, use_progress_bar=False)
+        tr.fit(task, [batch] * 3, [batch])
+        # mixed-precision contract: master params stay f32
+        leaves = jax.tree_util.tree_leaves(tr.state.params)
+        assert all(
+            leaf.dtype != jnp.bfloat16 for leaf in leaves
+        ), "bf16 compute must not demote master params"
+        m = tr._run_eval_epoch([batch])
+        assert np.isfinite(m["avg_val_loss"])
+
     @pytest.mark.slow
     def test_ssl_freeze_transformer(self):
         from speechlid_tpu.core import Trainer
