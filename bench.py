@@ -53,7 +53,7 @@ import time
 
 import numpy as np
 
-V5E_PEAK_TFLOPS = {"bf16": 197.0, "f32": 99.0}  # assumed; printed in JSON
+V5E_PEAK_TFLOPS = {"bf16": 197.0, "f32": 99.0, "int8": 394.0}  # assumed
 
 BUDGET_S = float(os.environ.get("SPEECHLID_BENCH_BUDGET_S", "500"))
 _T0 = time.monotonic()
@@ -253,16 +253,29 @@ def _wavlm_builder(dtype_name: str):
     # scan-over-layers flagship variant: identical numerics, O(1)-in-depth
     # compiles (models/wavlm.py scan_layers) — opt-in for A/B on the chip
     scan = bool(os.environ.get("SPEECHLID_BENCH_SCAN"))
+    # conv-extractor lowering A/B: framed-matmul vs lax conv (exact-parity
+    # tests/test_quant.py); unset → 'conv' for exact dtypes, 'matmul' for
+    # int8 (the framed GEMM is what rides the int8 MXU path)
+    conv_impl = os.environ.get("SPEECHLID_BENCH_CONV_IMPL") or None
     if dtype_name == "bf16mix":
         # bf16 encoder + f32 heads: the stable mixed config on this chip
         # (bf16 Conformer-head fusions hang — docs/runs/CHIP_FINDINGS_r2.md)
         model = _flagship_wavlm(
             n_lang=3, dtype=jnp.bfloat16, head_dtype=jnp.float32,
-            scan_layers=scan,
+            scan_layers=scan, conv_impl=conv_impl,
+        )
+    elif dtype_name == "int8":
+        # dynamic W8A8 serving path: int8 dense projections (MXU 2× rate),
+        # bf16 elementwise/conv, f32 norm/softmax islands (ops/quant.py).
+        # Approximate numerics — reported SEPARATELY from the headline.
+        model = _flagship_wavlm(
+            n_lang=3, dtype=jnp.bfloat16, scan_layers=scan, quant_dot="int8",
+            conv_impl=conv_impl or "matmul",
         )
     else:
         dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
-        model = _flagship_wavlm(n_lang=3, dtype=dt, scan_layers=scan)
+        model = _flagship_wavlm(n_lang=3, dtype=dt, scan_layers=scan,
+                                conv_impl=conv_impl)
     return model, wavlm_flagship_flops_per_utt()
 
 
@@ -325,19 +338,40 @@ def calibration_gemm(device, dtype_name: str, n: int = 4096, chain: int = 64):
     import jax.numpy as jnp
     from jax import lax
 
-    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    if dtype_name == "int8":
+        # s8×s8→s32 MXU rate; requantize the carry back to int8 per step
+        # (n² VPU work against n³ MXU work — negligible at n=4096)
+        @jax.jit
+        def run(key):
+            a = jax.random.randint(key, (n, n), -127, 128, jnp.int32)
+            b = jax.random.randint(
+                jax.random.fold_in(key, 1), (n, n), -127, 128, jnp.int32
+            ).astype(jnp.int8)
 
-    @jax.jit
-    def run(key):
-        a = jax.random.normal(key, (n, n), jnp.float32).astype(dt)
-        b = (jax.random.normal(jax.random.fold_in(key, 1), (n, n),
-                               jnp.float32) / np.sqrt(n)).astype(dt)
+            def body(c, _):
+                o = lax.dot_general(
+                    c, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                c = jnp.clip(o // (127 * 64), -127, 127).astype(jnp.int8)
+                return c, ()
 
-        def body(c, _):
-            return (c @ b).astype(dt), ()
+            out, _ = lax.scan(body, a.astype(jnp.int8), None, length=chain)
+            return out.sum()
+    else:
+        dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
 
-        out, _ = lax.scan(body, a, None, length=chain)
-        return out.sum()
+        @jax.jit
+        def run(key):
+            a = jax.random.normal(key, (n, n), jnp.float32).astype(dt)
+            b = (jax.random.normal(jax.random.fold_in(key, 1), (n, n),
+                                   jnp.float32) / np.sqrt(n)).astype(dt)
+
+            def body(c, _):
+                return (c @ b).astype(dt), ()
+
+            out, _ = lax.scan(body, a, None, length=chain)
+            return out.sum()
 
     with jax.default_device(device):
         _sync(run(jax.random.PRNGKey(0)))  # compile + warm
@@ -470,7 +504,7 @@ def run_stage(stage: str) -> dict:
         utt_s, mfu = bench_conformer(_accel(), batch=128, iters=8)
         return {"conformer_utt_s": round(utt_s, 1),
                 "conformer_mfu": round(mfu, 4)}
-    if stage == "calib_f32" or stage == "calib_bf16":
+    if stage in ("calib_f32", "calib_bf16", "calib_int8"):
         dtype_name = stage.split("_")[1]
         return {"tflops": round(calibration_gemm(_accel(), dtype_name), 1)}
     if stage == "frontend":
@@ -545,7 +579,8 @@ def _emit():
     _EMITTED = True
     results = _RESULTS
     sweep = {}
-    names = {"f32": "f32", "bf16mix": "bf16_mixed", "bf16": "bf16"}
+    names = {"f32": "f32", "bf16mix": "bf16_mixed", "bf16": "bf16",
+             "int8": "int8"}
     for stage, payload in results.items():
         if not stage.startswith("wavlm_") or not payload:
             continue
@@ -563,8 +598,15 @@ def _emit():
             rest, batch = rest.rsplit("_b", 1)
         sweep.setdefault(names[rest], {})[batch] = payload
     best = None
-    for pts in sweep.values():
+    int8_best = None
+    for name, pts in sweep.items():
         for p in pts.values():
+            if name == "int8":
+                # approximate numerics (dynamic W8A8): reported separately,
+                # NEVER the headline — the headline stays exact-dtype
+                if int8_best is None or p["utt_s"] > int8_best["utt_s"]:
+                    int8_best = p
+                continue
             if best is None or p["utt_s"] > best["utt_s"]:
                 best = p
     cpu_utt_s = (results.get("cpu_ref") or {}).get("cpu_utt_s")
@@ -592,11 +634,13 @@ def _emit():
         ),
         "batch_sweep": sweep,
         "best_mfu": best["mfu"] if best else None,
+        "int8_best_utt_s": int8_best["utt_s"] if int8_best else None,
         "flops_per_utt_gflop": round(wavlm_flagship_flops_per_utt() / 1e9, 2),
         "chip_peak_tflops_assumed": V5E_PEAK_TFLOPS,
         "calibration_gemm_tflops": {
             "f32": (results.get("calib_f32") or {}).get("tflops"),
             "bf16": (results.get("calib_bf16") or {}).get("tflops"),
+            "int8": (results.get("calib_int8") or {}).get("tflops"),
         },
         "cpu_reference_utt_s": cpu_utt_s,
         "conformer_utt_s": conf.get("conformer_utt_s"),
@@ -647,9 +691,13 @@ def main() -> None:
         # 2026-08-18 (1117 utt/s b128) — it supersedes the bf16-mixed
         # workaround as the default bf16 stage
         ("wavlm_bf16_sweep", 450.0, True),
+        # dynamic-int8 serving path (approximate numerics — never the
+        # headline; _emit reports it as int8_best_utt_s + its own sweep)
+        ("wavlm_int8_sweep", 450.0, True),
         ("conformer", 420.0, True),
         ("calib_f32", 150.0, True),
         ("calib_bf16", 150.0, True),
+        ("calib_int8", 150.0, True),
     ]
     if os.environ.get("SPEECHLID_BENCH_BF16_MIXED"):
         # the bf16-encoder/f32-head config that worked around the (now

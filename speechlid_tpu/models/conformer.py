@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from speechlid_tpu.ops import frontend as F
+from speechlid_tpu.ops.quant import quant_dot_general
 
 Dtype = Any
 
@@ -64,14 +65,16 @@ class FeedForward(nn.Module):
     dropout: float = 0.0
     use_double_swish: bool = False
     dtype: Dtype = jnp.float32
+    quant_dot: Optional[str] = None  # 'int8' serving path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         act = double_swish if self.use_double_swish else swish
-        x = nn.Dense(self.dim * self.mult, dtype=self.dtype)(x)
+        dg = quant_dot_general(self.quant_dot)
+        x = nn.Dense(self.dim * self.mult, dtype=self.dtype, dot_general=dg)(x)
         x = act(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, dot_general=dg)(x)
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
 
@@ -85,6 +88,8 @@ class RelPosAttention(nn.Module):
     dropout: float = 0.0
     max_pos_emb: int = 512
     dtype: Dtype = jnp.float32
+    quant_dot: Optional[str] = None  # int8 q/kv/out projections only —
+    # the attention einsums (act×act, small at these T) stay real-valued
 
     @nn.compact
     def __call__(
@@ -96,8 +101,11 @@ class RelPosAttention(nn.Module):
         b, n, _ = x.shape
         h, d = self.heads, self.dim_head
         inner = h * d
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype, name="to_kv")(x)
+        dg = quant_dot_general(self.quant_dot)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q",
+                     dot_general=dg)(x)
+        kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype,
+                      name="to_kv", dot_general=dg)(x)
         k, v = jnp.split(kv, 2, axis=-1)
         q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, h, d).transpose(0, 2, 1, 3)
@@ -131,7 +139,8 @@ class RelPosAttention(nn.Module):
         attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out",
+                       dot_general=dg)(out)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
 
@@ -237,6 +246,7 @@ class ConformerConvModule(nn.Module):
     # from XLA entirely), or 'auto' (pallas exactly where the XLA lowering
     # is broken: bf16 on the axon backend).  Same param tree either way.
     conv_impl: str = "auto"
+    quant_dot: Optional[str] = None  # int8 pointwise projections
 
     @nn.compact
     def __call__(
@@ -258,8 +268,10 @@ class ConformerConvModule(nn.Module):
             # the XLA grouped conv; the Pallas kernel needs no fence.
             barrier = is_bf16 and not use_pallas and _on_axon_backend()
         fence = jax.lax.optimization_barrier if barrier else (lambda y: y)
+        dg = quant_dot_general(self.quant_dot)
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = nn.Dense(2 * inner, dtype=self.dtype)(y)  # pointwise conv1x1
+        y = nn.Dense(2 * inner, dtype=self.dtype,
+                     dot_general=dg)(y)  # pointwise conv1x1
         a, g = jnp.split(y, 2, axis=-1)
         y = a * jax.nn.sigmoid(g)  # GLU
         if pad_mask is not None:
@@ -283,7 +295,7 @@ class ConformerConvModule(nn.Module):
             use_running_average=deterministic, dtype=self.dtype, name="bn"
         )(y, pad_mask)
         y = act(y)
-        y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, dot_general=dg)(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(y)
 
 
@@ -302,6 +314,7 @@ class ConformerBlock(nn.Module):
     conv_dropout: float = 0.0
     use_double_swish: bool = False
     dtype: Dtype = jnp.float32
+    quant_dot: Optional[str] = None  # int8 serving path for every Dense
 
     @nn.compact
     def __call__(
@@ -312,24 +325,26 @@ class ConformerBlock(nn.Module):
     ) -> jax.Array:
         ff1 = FeedForward(
             self.dim, self.ff_mult, self.ff_dropout, self.use_double_swish,
-            self.dtype, name="ff1",
+            self.dtype, self.quant_dot, name="ff1",
         )
         x = 0.5 * ff1(nn.LayerNorm(dtype=self.dtype)(x), deterministic) + x
         attn = RelPosAttention(
             self.dim, self.heads, self.dim_head, self.attn_dropout,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, quant_dot=self.quant_dot, name="attn",
         )
         x = attn(nn.LayerNorm(dtype=self.dtype)(x), mask, deterministic) + x
         conv = ConformerConvModule(
             self.dim, self.conv_expansion_factor, self.conv_kernel_size,
-            self.conv_dropout, self.use_double_swish, self.dtype, name="conv",
+            self.conv_dropout, self.use_double_swish, self.dtype,
+            quant_dot=self.quant_dot, name="conv",
         )
         x = conv(x, deterministic, pad_mask=mask) + x
         # ff2 deliberately ignores use_double_swish: the reference builds
         # its second half-FFN WITHOUT the flag (conformer.py:244) while
         # ff1/conv honor it — parity, not an oversight
         ff2 = FeedForward(
-            self.dim, self.ff_mult, self.ff_dropout, False, self.dtype, name="ff2"
+            self.dim, self.ff_mult, self.ff_dropout, False, self.dtype,
+            self.quant_dot, name="ff2",
         )
         x = 0.5 * ff2(nn.LayerNorm(dtype=self.dtype)(x), deterministic) + x
         return nn.LayerNorm(dtype=self.dtype, name="post_norm")(x)
@@ -443,6 +458,7 @@ class ConformerModel(nn.Module):
     # block_i/); numerics are identical (tests/test_models.py).
     scan_blocks: bool = False
     dtype: Dtype = jnp.float32
+    quant_dot: Optional[str] = None  # int8 serving path (ops/quant.py)
 
     def subsampled_lengths(self, lengths: jax.Array) -> jax.Array:
         if self.sub_sampling == 4:
@@ -480,6 +496,7 @@ class ConformerModel(nn.Module):
             conv_dropout=self.conv_dropout,
             use_double_swish=self.use_double_swish,
             dtype=self.dtype,
+            quant_dot=self.quant_dot,
         )
         if self.scan_blocks:
             step_cls = (

@@ -49,9 +49,12 @@ class ConformerLinearHead(nn.Module):
     num_head: int = 8
     use_double_swish: bool = False
     dtype: Dtype = jnp.float32
+    quant_dot: Optional[str] = None  # int8 serving path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
+        from speechlid_tpu.ops.quant import quant_dot_general
+
         for i in range(self.num_layers):
             x = ConformerBlock(
                 dim=self.linear_dim,
@@ -59,10 +62,12 @@ class ConformerLinearHead(nn.Module):
                 heads=self.num_head,
                 use_double_swish=self.use_double_swish,
                 dtype=self.dtype,
+                quant_dot=self.quant_dot,
                 name=f"block_{i}",
             )(x, mask, deterministic)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.Dense(self.vocab_size + 1, dtype=self.dtype)(x)
+        return nn.Dense(self.vocab_size + 1, dtype=self.dtype,
+                        dot_general=quant_dot_general(self.quant_dot))(x)
 
 
 class BiLSTMLinearHead(nn.Module):
@@ -106,6 +111,7 @@ class MultiLangHeadStack(nn.Module):
     num_head: int = 8
     use_double_swish: bool = False
     dtype: Dtype = jnp.float32
+    quant_dot: Optional[str] = None  # int8 serving path (ops/quant.py)
 
     @property
     def vocab_max(self) -> int:
@@ -154,7 +160,7 @@ class MultiLangHeadStack(nn.Module):
                 num_layers=self.num_layers, dropout=self.dropout,
                 dim_head=self.dim_head, num_head=self.num_head,
                 use_double_swish=self.use_double_swish,
-                dtype=self.dtype, name="heads",
+                dtype=self.dtype, quant_dot=self.quant_dot, name="heads",
             )
             logits = head(x, mask, deterministic)
 
@@ -240,6 +246,8 @@ class MutiLangModel(nn.Module):
     num_head: int = 8
     use_double_swish: bool = False
     dtype: Dtype = jnp.float32
+    quant_dot: Optional[str] = None  # int8 serving path for the heads
+    # (pair with featurizer quant via WavLMConfig.quant_dot / ConformerModel)
 
     def setup(self):
         self.heads = MultiLangHeadStack(
@@ -252,6 +260,7 @@ class MutiLangModel(nn.Module):
             num_head=self.num_head,
             use_double_swish=self.use_double_swish,
             dtype=self.dtype,
+            quant_dot=self.quant_dot,
         )
         self.discriminator = LangDiscriminatorMLP(n_lang=len(self.vocab_sizes))
 

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from speechlid_tpu.ops.quant import quant_dot_general
+
 
 def _eval_conv_spec(spec: str) -> List[Tuple[int, int, int]]:
     """Safely evaluate conv-layer specs like
@@ -90,6 +92,16 @@ class WavLMConfig:
     # pinned f32 islands per the reference's Fp32LayerNorm/Fp32GroupNorm —
     # modules.py:41-74 — which is also the stable TPU mixed-precision recipe)
     dtype: Any = jnp.float32
+    # dynamic int8 W8A8 serving path for the encoder-layer projections
+    # (q/k/v/out + fc1/fc2 — ~97 % of encoder dense FLOPs): 'int8' or
+    # 'int8_ste' (ops/quant.py).  The MXU runs s8×s8→s32 at ~2× bf16 rate.
+    quant_dot: Optional[str] = None
+    # conv extractor lowering: 'conv' (lax conv) or 'matmul' (im2col framed
+    # GEMM — strided slices + one MXU matmul per layer; k=s layers are a
+    # pure reshape).  The extractor is 28 % of flagship inference time at
+    # only ~58 TF sustained (docs/runs/CHIP_FINDINGS_r3.md decomposition);
+    # the framed form hits the GEMM path directly and honors quant_dot.
+    conv_extractor_impl: str = "conv"
 
     @property
     def conv_layers(self) -> List[Tuple[int, int, int]]:
@@ -109,6 +121,51 @@ def conv_out_lengths(
     return lengths
 
 
+class _FramedConv(nn.Module):
+    """VALID strided conv1d as an explicit framed matmul: k strided slices
+    concatenated tap-major → ONE (B·T', k·Cin)×(k·Cin, Cout) GEMM.  Param
+    tree identical to ``nn.Conv`` (kernel (k, Cin, Cout) [+ bias]), so
+    checkpoints are interchangeable with the 'conv' lowering; non-
+    overlapping layers (k == s) reduce to a reshape.  Honors ``quant_dot``
+    — this is how the conv extractor rides the int8 MXU path."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    quant_dot: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:  # (B, T, Cin)
+        b, t, cin = y.shape
+        k, s = self.kernel_size, self.stride
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, cin, self.features), jnp.float32,
+        )
+        t2 = (t - k) // s + 1
+        if k == s:
+            win = y[:, : t2 * s, :].reshape(b, t2, k * cin)
+        else:
+            win = jnp.concatenate(
+                [y[:, i : i + (t2 - 1) * s + 1 : s, :] for i in range(k)],
+                axis=-1,
+            )  # (B, T2, k·Cin) tap-major — matches kernel.reshape below
+        w = kernel.reshape(k * cin, self.features).astype(self.dtype)
+        dot = quant_dot_general(self.quant_dot) or jax.lax.dot_general
+        out = dot(
+            win.astype(self.dtype), w, (((2,), (0,)), ((), ())),
+            None, None,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvFeatureExtractor(nn.Module):
     """Waveform (B, T) → (B, T', C) conv stack (WavLM.py:409-531)."""
 
@@ -119,10 +176,17 @@ class ConvFeatureExtractor(nn.Module):
         cfg = self.config
         y = x[:, :, None]  # (B, T, 1) NWC
         for i, (dim, k, stride) in enumerate(cfg.conv_layers):
-            y = nn.Conv(
-                dim, (k,), strides=(stride,), padding="VALID",
-                use_bias=cfg.conv_bias, name=f"conv_{i}", dtype=cfg.dtype,
-            )(y)
+            if cfg.conv_extractor_impl == "matmul":
+                y = _FramedConv(
+                    dim, k, stride, use_bias=cfg.conv_bias,
+                    dtype=cfg.dtype, quant_dot=cfg.quant_dot,
+                    name=f"conv_{i}",
+                )(y)
+            else:
+                y = nn.Conv(
+                    dim, (k,), strides=(stride,), padding="VALID",
+                    use_bias=cfg.conv_bias, name=f"conv_{i}", dtype=cfg.dtype,
+                )(y)
             if cfg.extractor_mode == "layer_norm":
                 # fp32 LayerNorm over channels
                 y = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}", dtype=jnp.float32)(y)
@@ -167,6 +231,8 @@ class RelPosMultiheadAttention(nn.Module):
     max_distance: int = 1280
     gru_rel_pos: bool = False
     dtype: Any = jnp.float32
+    quant_dot: Optional[str] = None  # int8 q/k/v/out projections; the
+    # attention einsums and grep gate (tiny, gate-sensitive) stay real
 
     @nn.compact
     def __call__(
@@ -181,9 +247,10 @@ class RelPosMultiheadAttention(nn.Module):
         d = c // h
         scaling = d**-0.5
 
-        q = nn.Dense(c, name="q_proj", dtype=self.dtype)(x) * scaling
-        k = nn.Dense(c, name="k_proj", dtype=self.dtype)(x)
-        v = nn.Dense(c, name="v_proj", dtype=self.dtype)(x)
+        dg = quant_dot_general(self.quant_dot)
+        q = nn.Dense(c, name="q_proj", dtype=self.dtype, dot_general=dg)(x) * scaling
+        k = nn.Dense(c, name="k_proj", dtype=self.dtype, dot_general=dg)(x)
+        v = nn.Dense(c, name="v_proj", dtype=self.dtype, dot_general=dg)(x)
         q = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
@@ -240,19 +307,23 @@ class RelPosMultiheadAttention(nn.Module):
         probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
         out = jnp.einsum("bhij,bhjd->bhid", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-        out = nn.Dense(c, name="out_proj", dtype=self.dtype)(out)
+        out = nn.Dense(c, name="out_proj", dtype=self.dtype,
+                       dot_general=dg)(out)
         return out, position_bias
 
 
 def _ffn_act(cfg: WavLMConfig, y: jax.Array, dense_out: int, name: str):
     """fc1 + activation: gelu (default) or GLU_Linear with swish gate
     (reference modules.py GLU_Linear, used when activation_fn == 'glu')."""
+    dg = quant_dot_general(cfg.quant_dot)
     if cfg.activation_fn == "glu":
-        z = nn.Dense(2 * dense_out, name=name, dtype=cfg.dtype)(y)
+        z = nn.Dense(2 * dense_out, name=name, dtype=cfg.dtype,
+                     dot_general=dg)(y)
         a, g = jnp.split(z, 2, axis=-1)
         return a * (g * jax.nn.sigmoid(g))  # swish-gated GLU
     return jax.nn.gelu(
-        nn.Dense(dense_out, name=name, dtype=cfg.dtype)(y), approximate=False
+        nn.Dense(dense_out, name=name, dtype=cfg.dtype, dot_general=dg)(y),
+        approximate=False,
     )
 
 
@@ -276,6 +347,7 @@ class WavLMEncoderLayer(nn.Module):
             max_distance=cfg.max_distance,
             gru_rel_pos=cfg.gru_rel_pos,
             dtype=cfg.dtype,
+            quant_dot=cfg.quant_dot,
             name="self_attn",
         )
         drop = lambda z: nn.Dropout(cfg.dropout, deterministic=deterministic)(z)
