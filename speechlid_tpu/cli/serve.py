@@ -254,6 +254,10 @@ def build_lid_fn(args):
     module_conf = conf.module.to_dict()
     module_conf.pop("task", None)
     hparams.update(module_conf)
+    if getattr(args, "quant", None):
+        # int8 serving: same checkpoint, quantized dense projections
+        hparams["quant_dot"] = args.quant
+        hparams.setdefault("ssl_conv_impl", "matmul")
     task = LidASRTask(tokenizers=data["tokenizers"], **hparams)
     feeder = build_feeder(conf, data["val_dataset"] or data["dataset"],
                           train=False)
@@ -301,6 +305,9 @@ def main(argv=None) -> None:
     parser.add_argument("--config-name", default=None)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--quant", default=None, choices=("int8",),
+                        help="serve the LID model with dynamic int8 dense "
+                             "projections (ops/quant.py; same checkpoint)")
     parser.add_argument("--buckets", default=None,
                         help="comma-separated bucket durations in seconds "
                              "(default: 1,2,4,8,13,17)")

@@ -106,6 +106,13 @@ class LidASRTask(TaskModule):
         # native precision (the AMP analog — SURVEY.md §2.5 row 'AMP');
         # params and softmax/layernorm accumulations stay f32
         dtype: str = "float32",
+        # dynamic int8 W8A8 dense projections (ops/quant.py): 'int8' for
+        # the 2×-rate MXU serving path (approximate numerics), 'int8_ste'
+        # for quantization-aware fine-tuning. Checkpoints are unchanged.
+        quant_dot: Optional[str] = None,
+        # SSL conv-extractor lowering: 'matmul' frames the strided convs
+        # into GEMMs (exact parity; required for int8 extractor dots)
+        ssl_conv_impl: Optional[str] = None,
         # freeze schedule (reference before_train_loop epoch gates,
         # LidModule_ASR.py:279-304)
         freeze_featurizer_epoch: int = -1,
@@ -132,7 +139,8 @@ class LidASRTask(TaskModule):
             freeze_featurizer_epoch=freeze_featurizer_epoch,
             freeze_transformer_epoch=freeze_transformer_epoch,
             keep_train_lang=keep_train_lang, dtype=dtype, remat=remat,
-            scan_blocks=scan_blocks,
+            scan_blocks=scan_blocks, quant_dot=quant_dot,
+            ssl_conv_impl=ssl_conv_impl,
         )
         self.lang2vocab = lang2vocab
         self.lang2index = lang2index
@@ -172,6 +180,7 @@ class LidASRTask(TaskModule):
                 heads=heads, dim_head=dim_head, sub_sampling=sub_sampling,
                 use_double_swish=double_swish, remat=remat,
                 scan_blocks=scan_blocks, dtype=self.dtype,
+                quant_dot=quant_dot,
             )
         elif featurizer in ("wavlm", "wav2vec2"):
             from speechlid_tpu.models.wav2vec2 import (
@@ -204,6 +213,15 @@ class LidASRTask(TaskModule):
             # SSL training-time masking is governed by the config's
             # mask_prob / mask_channel_prob (reference overrides them at
             # lid/wavlm/example.py:26-28)
+            if quant_dot or ssl_conv_impl:
+                import dataclasses as _dc
+
+                ssl_cfg = _dc.replace(
+                    ssl_cfg,
+                    quant_dot=quant_dot,
+                    conv_extractor_impl=ssl_conv_impl
+                    or ssl_cfg.conv_extractor_impl,
+                )
             feat_module = SSLFeaturizerModel(
                 scan_layers=scan_blocks,
                 config=ssl_cfg, feature_selection=feature_selection,
@@ -224,6 +242,7 @@ class LidASRTask(TaskModule):
             num_head=head_num_head,
             use_double_swish=double_swish,
             dtype=self.dtype,
+            quant_dot=quant_dot,
         )
         self.eer = EER(num_class=self.n_lang)
         self.cavg = CAvg(num_class=self.n_lang)

@@ -202,3 +202,36 @@ def test_framed_conv_extractor_parity():
     np.testing.assert_allclose(
         np.asarray(y_mm), np.asarray(y_conv), rtol=2e-5, atol=2e-5
     )
+
+
+def test_lid_task_quant_serving_path():
+    """LidASRTask(quant_dot='int8') builds; its infer_fn runs on the same
+    variables an exact task initialized (serving: same checkpoint, int8
+    engine) and agrees on confidence-score scale."""
+    from speechlid_tpu.tasks import LidASRTask
+
+    common = dict(
+        lang2vocab={"aa": 8, "bb": 12}, lang2index={"aa": 0, "bb": 1},
+        n_blocks=1, encoder_dim=48, heads=2, dim_head=24,
+        sub_sampling=4, head_dim_head=12, head_num_head=4,
+        schedule=None, mask_times=0,
+    )
+    exact = LidASRTask(**common)
+    quant = LidASRTask(quant_dot="int8", **common)
+    assert quant.hyper_parameters["quant_dot"] == "int8"
+
+    rng = np.random.RandomState(3)
+    batch = {
+        "wavs": rng.randn(2, 8000).astype(np.float32) * 0.1,
+        "wav_lengths": np.asarray([8000, 6400], np.int32),
+    }
+    v = exact.init_variables(jax.random.PRNGKey(0), batch)
+    out_f = exact.infer_fn()(v, jnp.asarray(batch["wavs"]),
+                             jnp.asarray(batch["wav_lengths"]))
+    out_q = jax.jit(quant.infer_fn())(v, jnp.asarray(batch["wavs"]),
+                                      jnp.asarray(batch["wav_lengths"]))
+    assert np.all(np.isfinite(np.asarray(out_q["scores"])))
+    np.testing.assert_allclose(
+        np.asarray(out_q["scores"]), np.asarray(out_f["scores"]),
+        rtol=0.25, atol=0.08,
+    )
