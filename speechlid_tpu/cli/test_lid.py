@@ -50,6 +50,10 @@ def main(argv=None) -> None:
     parser.add_argument("--submission", default=None)
     parser.add_argument("--sweep", action="store_true",
                         help="run the full SNR x noise grid")
+    parser.add_argument("--quant", default=None, choices=("int8",),
+                        help="evaluate through the dynamic int8 engine "
+                             "(ops/quant.py) — measures the quantization "
+                             "EER/CER delta on an unchanged checkpoint")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
@@ -71,6 +75,9 @@ def main(argv=None) -> None:
     module_conf = conf.module.to_dict()
     module_conf.pop("task", None)
     hparams.update(module_conf)
+    if args.quant:
+        hparams["quant_dot"] = args.quant
+        hparams.setdefault("ssl_conv_impl", "matmul")
     task = LidASRTask(tokenizers=data["tokenizers"], **hparams)
 
     # restore params through a template init (train=False: offline eval
