@@ -82,53 +82,54 @@ def int8_dot_general(
     return (out32.astype(jnp.float32) * scale).astype(out_dtype)
 
 
-@jax.custom_vjp
-def _ste_dot(lhs, rhs, dn_tag):
-    return int8_dot_general(lhs, rhs, _DN[dn_tag])
+import functools
 
 
-def _ste_fwd(lhs, rhs, dn_tag):
-    return _ste_dot(lhs, rhs, dn_tag), (lhs, rhs, dn_tag)
-
-
-def _ste_bwd(res, g):
-    """Straight-through: gradients flow as if the dot were exact."""
-    lhs, rhs, dn_tag = res
-    dn = _DN[dn_tag]
+@functools.lru_cache(maxsize=None)
+def _make_ste_dot(dn):
+    """One custom_vjp function per dimension_numbers (closed over, NOT an
+    operand — operands become tracers under jit, and dimension numbers
+    must stay static python values)."""
     (lc, rc), _ = dn
-    # Standard dense-dot VJP for the no-batch case via transposed dots.
-    l_free = [i for i in range(lhs.ndim) if i not in lc]
-    r_free = [i for i in range(rhs.ndim) if i not in rc]
-    # g dims: l_free ++ r_free
-    g_l = lax.dot_general(
-        g, rhs,
-        (( tuple(range(len(l_free), g.ndim)), tuple(r_free)), ((), ())),
-    )  # dims: l_free ++ rc-of-rhs (in rc order)
-    # scatter back contracted dims into lhs layout
-    perm = [0] * lhs.ndim
-    for i, ax in enumerate(l_free):
-        perm[ax] = i
-    for i, ax in enumerate(lc):
-        perm[ax] = len(l_free) + i
-    g_l = jnp.transpose(g_l, axes=tuple(perm)).astype(lhs.dtype)
-    g_r = lax.dot_general(
-        lhs, g,
-        ((tuple(l_free), tuple(range(len(l_free)))), ((), ())),
-    )  # dims: lc-of-lhs (in lc order) ++ r_free
-    perm_r = [0] * rhs.ndim
-    for i, ax in enumerate(rc):
-        perm_r[ax] = i
-    for i, ax in enumerate(r_free):
-        perm_r[ax] = len(rc) + i
-    g_r = jnp.transpose(g_r, axes=tuple(perm_r)).astype(rhs.dtype)
-    return g_l, g_r, None
 
+    @jax.custom_vjp
+    def f(lhs, rhs):
+        return int8_dot_general(lhs, rhs, dn)
 
-_ste_dot.defvjp(_ste_fwd, _ste_bwd)
+    def fwd(lhs, rhs):
+        return f(lhs, rhs), (lhs, rhs)
 
-# dimension_numbers are not valid custom_vjp operands (pytrees of ints
-# would get differentiated-over); intern them into a tag table instead.
-_DN: dict = {}
+    def bwd(res, g):
+        """Straight-through: gradients flow as if the dot were exact —
+        standard dense-dot VJP via transposed dots."""
+        lhs, rhs = res
+        l_free = [i for i in range(lhs.ndim) if i not in lc]
+        r_free = [i for i in range(rhs.ndim) if i not in rc]
+        # g dims: l_free ++ r_free
+        g_l = lax.dot_general(
+            g, rhs,
+            ((tuple(range(len(l_free), g.ndim)), tuple(r_free)), ((), ())),
+        )  # dims: l_free ++ rc-of-rhs (in rc order)
+        perm = [0] * lhs.ndim  # scatter contracted dims back into lhs layout
+        for i, ax in enumerate(l_free):
+            perm[ax] = i
+        for i, ax in enumerate(lc):
+            perm[ax] = len(l_free) + i
+        g_l = jnp.transpose(g_l, axes=tuple(perm)).astype(lhs.dtype)
+        g_r = lax.dot_general(
+            lhs, g,
+            ((tuple(l_free), tuple(range(len(l_free)))), ((), ())),
+        )  # dims: lc-of-lhs (in lc order) ++ r_free
+        perm_r = [0] * rhs.ndim
+        for i, ax in enumerate(rc):
+            perm_r[ax] = i
+        for i, ax in enumerate(r_free):
+            perm_r[ax] = len(rc) + i
+        g_r = jnp.transpose(g_r, axes=tuple(perm_r)).astype(rhs.dtype)
+        return g_l, g_r
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def int8_dot_general_ste(
@@ -142,9 +143,7 @@ def int8_dot_general_ste(
             lhs, rhs, dimension_numbers, precision=precision,
             preferred_element_type=preferred_element_type,
         )
-    key = ((tuple(lc), tuple(rc)), ((), ()))
-    _DN[key] = key
-    return _ste_dot(lhs, rhs, key)
+    return _make_ste_dot(((tuple(lc), tuple(rc)), ((), ())))(lhs, rhs)
 
 
 def quant_dot_general(kind: Optional[str]):

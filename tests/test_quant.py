@@ -235,3 +235,69 @@ def test_lid_task_quant_serving_path():
         np.asarray(out_q["scores"]), np.asarray(out_f["scores"]),
         rtol=0.25, atol=0.08,
     )
+
+
+def test_qat_training_loss_drops():
+    """int8_ste end-to-end: a tiny joint model trains through the
+    quantized forward (STE backward) — the QAT recipe's gradient path
+    (configs/lid_wavlm_qat.yaml)."""
+    import optax
+
+    from speechlid_tpu.models.conformer import ConformerModel
+    from speechlid_tpu.models.multilang import MutiLangModel
+    from speechlid_tpu.ops.ctc import ctc_loss
+    from speechlid_tpu.ops.frontend import frame_lengths, wav2mel
+
+    feat = ConformerModel(
+        n_blocks=1, encoder_dim=32, heads=2, dim_head=16, sub_sampling=4,
+        use_stochastic_depth=False, quant_dot="int8_ste",
+    )
+    model = MutiLangModel(
+        featurizer=feat, vocab_sizes=(8, 8), linear_dim=32, dim_head=8,
+        num_head=4, quant_dot="int8_ste",
+    )
+    rng = np.random.RandomState(0)
+    b, t, s = 4, 7840, 6
+    wavs = jnp.asarray(rng.randn(b, t).astype(np.float32) * 0.1)
+    lengths = jnp.full((b,), t, jnp.int32)
+    texts = jnp.asarray(rng.randint(0, 7, (b, s)), jnp.int32)
+    text_lengths = jnp.full((b,), s, jnp.int32)
+    langs = jnp.asarray([0, 1, 0, 1], jnp.int32)
+
+    mel = jnp.transpose(wav2mel(wavs, lengths=lengths), (0, 2, 1))
+    f_len = frame_lengths(lengths, 160)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key, "stochastic_depth": key},
+        mel, f_len, method=MutiLangModel.infer,
+    )
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bs, opt):
+        def loss_fn(p):
+            (logits, f_lens), mut = model.apply(
+                {"params": p, "batch_stats": bs}, mel, f_len,
+                deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": key, "stochastic_depth": key},
+            )
+            own = jnp.take_along_axis(
+                logits, langs[None, :, None, None], axis=0
+            )[0]
+            lp = jax.nn.log_softmax(own, axis=-1)
+            return ctc_loss(lp, texts, f_lens, text_lengths, blank=-1), \
+                mut["batch_stats"]
+
+        (l, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), new_bs, opt, l
+
+    losses = []
+    for _ in range(8):
+        params, bs, opt, l = step(params, bs, opt)
+        losses.append(float(l))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.9, losses
