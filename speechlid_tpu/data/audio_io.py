@@ -149,13 +149,15 @@ def read_wav_batch(
     capacity: int,
     out: Optional[np.ndarray] = None,
     n_threads: int = 0,
+    truncate: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode ``paths`` into one zero-padded (N, capacity) float32 buffer.
 
     The native multithreaded path releases the GIL for the whole batch;
     items the native library cannot decode (or when it is unavailable)
     fall back to the per-item Python reader.  Waveforms longer than
-    ``capacity`` raise (the feeder's bucket must already bound duration).
+    ``capacity`` raise unless ``truncate`` (the feeder truncates to its
+    largest duration bucket, matching the per-item ``wav[:t_bucket]``).
 
     → (batch (N, capacity) float32, lengths (N,) int64, sample_rates (N,))
     """
@@ -177,11 +179,16 @@ def read_wav_batch(
         )
         failed = [i for i in range(n) if lengths[i] < 0]
     for i in failed:
-        wav, sr = _read_wav_scipy(paths[i])
+        # python fallback: full decode (native path errors with -5 when a
+        # file exceeds capacity, so the truncating read happens here)
+        wav, sr = _read_wav(paths[i])
         if len(wav) > capacity:
-            raise ValueError(
-                f"{paths[i]}: {len(wav)} frames exceeds capacity {capacity}"
-            )
+            if not truncate:
+                raise ValueError(
+                    f"{paths[i]}: {len(wav)} frames exceeds capacity "
+                    f"{capacity}"
+                )
+            wav = wav[:capacity]
         out[i, : len(wav)] = wav
         out[i, len(wav):] = 0.0
         lengths[i] = len(wav)

@@ -27,6 +27,34 @@ from speechlid_tpu.data.manifest import RawManifest
 from speechlid_tpu.data.tokenizer import CTCTokenizer
 
 
+_SR_WARNED: set = set()
+
+
+def resample_linear(
+    wav: np.ndarray, sr: int, target_sr: int, path: str = "?"
+) -> np.ndarray:
+    """Host linear resample to ``target_sr`` (warns once per source rate).
+
+    A wrong-rate wav silently treated as 16 kHz would stretch features ~2x;
+    the reference resamples inside the model's DataProcessor
+    (lid/Wav2vecMutiLangModel.py:113-160) — here it happens on the host so
+    device graphs keep one static rate."""
+    if sr == target_sr:
+        return wav
+    if sr not in _SR_WARNED:
+        _SR_WARNED.add(sr)
+        import logging
+
+        logging.warning(
+            "resampling %d Hz audio to %d Hz (e.g. %s)", sr, target_sr, path
+        )
+    n_out = int(round(len(wav) * target_sr / sr))
+    return np.interp(
+        np.arange(n_out) * (len(wav) - 1) / max(n_out - 1, 1),
+        np.arange(len(wav)), wav,
+    ).astype(np.float32)
+
+
 class MergedDataset:
     def __init__(
         self,
@@ -40,7 +68,6 @@ class MergedDataset:
         self.tokenizers = tokenizers
         self.lang2index = lang2index
         self.sample_rate = sample_rate
-        self._sr_warned = set()
         self.offsets = []
         total = 0
         for m in self.manifests:
@@ -57,42 +84,41 @@ class MergedDataset:
                 return m.lang()
         raise IndexError(idx)
 
-    def __getitem__(self, idx: int) -> Dict:
+    def meta(self, idx: int) -> Dict:
+        """Manifest row + language info WITHOUT decoding audio — the
+        feeder's native batch-decode path reads the files itself
+        (csrc/wavio) and calls :meth:`item_from_wav` to finish."""
         for off, m in zip(reversed(self.offsets), reversed(self.manifests)):
             if idx >= off:
                 item = m[idx - off]
                 lang = item["locale"]
-                tok = self.tokenizers[lang]
-                wav, sr = read_wav(item["path"])
-                if sr != self.sample_rate:
-                    # a wrong-rate wav silently treated as 16 kHz would
-                    # stretch features ~2x; resample on the host and warn
-                    # once per rate (torchaudio pipelines resample too)
-                    if sr not in self._sr_warned:
-                        self._sr_warned.add(sr)
-                        import logging
-
-                        logging.warning(
-                            "resampling %d Hz audio to %d Hz (e.g. %s)",
-                            sr, self.sample_rate, item["path"],
-                        )
-                    n_out = int(round(len(wav) * self.sample_rate / sr))
-                    wav = np.interp(
-                        np.arange(n_out) * (len(wav) - 1) / max(n_out - 1, 1),
-                        np.arange(len(wav)), wav,
-                    ).astype(np.float32)
-                    sr = self.sample_rate
-                ids = tok.encoder(item["sentence"])
                 return {
-                    "wav": wav,
-                    "sr": sr,
-                    "ids": ids,
                     "path": item["path"],
+                    "sentence": item["sentence"],
                     "lang": lang,
                     "lang_idx": self.lang2index[lang],
-                    "sentence": item["sentence"],
                 }
         raise IndexError(idx)
+
+    def item_from_wav(self, meta: Dict, wav: np.ndarray, sr: int) -> Dict:
+        """Finish an item from an already-decoded waveform (resample +
+        tokenize) — shared by ``__getitem__`` and the feeder batch path."""
+        wav = resample_linear(wav, sr, self.sample_rate, meta["path"])
+        ids = self.tokenizers[meta["lang"]].encoder(meta["sentence"])
+        return {
+            "wav": wav,
+            "sr": self.sample_rate,
+            "ids": ids,
+            "path": meta["path"],
+            "lang": meta["lang"],
+            "lang_idx": meta["lang_idx"],
+            "sentence": meta["sentence"],
+        }
+
+    def __getitem__(self, idx: int) -> Dict:
+        meta = self.meta(idx)
+        wav, sr = read_wav(meta["path"])
+        return self.item_from_wav(meta, wav, sr)
 
     def export_dict(self) -> Dict[str, List[str]]:
         return {m.lang(): m.export_vocab() for m in self.manifests}

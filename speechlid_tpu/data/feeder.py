@@ -21,7 +21,12 @@ from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from speechlid_tpu.data.datasets import MergedDataset, MultiBatchSampler
+from speechlid_tpu.data.audio_io import read_wav_batch
+from speechlid_tpu.data.datasets import (
+    MergedDataset,
+    MultiBatchSampler,
+    resample_linear,
+)
 
 DEFAULT_BUCKETS_S = (2.0, 4.0, 8.0, 13.0, 17.0)
 
@@ -70,6 +75,11 @@ class BucketFeeder:
         prefetch: int = 2,
         arrays_only: bool = True,
         augmentor=None,  # data.augmentor.WavAugmentor (train-time waveform aug)
+        native_batch_decode: bool = True,  # csrc/wavio multithreaded batch
+        #   decode straight into the padded buffer (GIL released); falls
+        #   back to per-item decode for non-wav paths / datasets without
+        #   the meta() accessor.  Output is bit-identical either way
+        #   (tests/test_wavio.py::test_feeder_native_batch_parity).
     ) -> None:
         self.dataset = dataset
         self.sampler = sampler
@@ -80,6 +90,9 @@ class BucketFeeder:
         self.prefetch = prefetch
         self.arrays_only = arrays_only
         self.augmentor = augmentor
+        self.native_batch_decode = native_batch_decode and hasattr(
+            dataset, "meta"
+        )
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -91,8 +104,38 @@ class BucketFeeder:
                 return b
         return self.bucket_samples[-1]
 
+    def _fetch_items(self, idxs: List[int]) -> List[Dict]:
+        """Decode + tokenize the batch's items.
+
+        Native path: one csrc/wavio multithreaded batch decode straight
+        into an (B, largest-bucket) buffer (truncation == the per-item
+        ``wav[:t_bucket]`` since the largest bucket caps every t_bucket),
+        then per-item tokenize.  Rows whose sample rate mismatches fall
+        back to the per-item reader so resampling sees the FULL file, not
+        a capacity-truncated one."""
+        if not self.native_batch_decode:
+            return [self.dataset[i] for i in idxs]
+        metas = [self.dataset.meta(i) for i in idxs]
+        if not all(m["path"].lower().endswith(".wav") for m in metas):
+            return [self.dataset[i] for i in idxs]
+        cap = self.bucket_samples[-1]
+        buf, lengths, srs = read_wav_batch(
+            [m["path"] for m in metas], cap, truncate=True
+        )
+        items = []
+        for i, m in enumerate(metas):
+            if int(srs[i]) != self.sample_rate:
+                items.append(self.dataset[idxs[i]])
+            else:
+                items.append(
+                    self.dataset.item_from_wav(
+                        m, buf[i, : int(lengths[i])], int(srs[i])
+                    )
+                )
+        return items
+
     def _assemble(self, idxs: List[int]) -> Batch:
-        items = [self.dataset[i] for i in idxs]
+        items = self._fetch_items(idxs)
         n_valid = len(items)
         if self.pad_to_full and len(items) < self.sampler.batch_size:
             # repeat-pad to the full batch size for a stable shape; the

@@ -140,3 +140,69 @@ def test_wavio_info(tmp_path, native_available):
                         ctypes.byref(ch))
     assert rc == 0 and frames.value == 7777 and sr.value == SR
     assert ch.value == 1
+
+
+def test_batch_truncate(tmp_path):
+    """truncate=True clips over-capacity files (feeder bucket semantics:
+    per-item path is wav[:t_bucket]) instead of raising."""
+    p_long = str(tmp_path / "long.wav")
+    p_short = str(tmp_path / "short.wav")
+    write_wav(p_long, _rand(4000, seed=1).astype(np.float32), SR)
+    write_wav(p_short, _rand(500, seed=2).astype(np.float32), SR)
+    batch, lengths, srs = read_wav_batch(
+        [p_long, p_short], capacity=1000, truncate=True
+    )
+    ref, _ = _read_wav_scipy(p_long)
+    np.testing.assert_array_equal(batch[0], ref[:1000])
+    assert lengths.tolist() == [1000, 500]
+    assert set(srs.tolist()) == {SR}
+
+
+class TestFeederNativeBatch:
+    """The feeder's native batch-decode path must be bit-identical to the
+    per-item path (same wavs, lengths, texts, langs, paths)."""
+
+    @pytest.fixture
+    def dataset(self, tmp_path, monkeypatch):
+        from tests.test_data import _write_corpus
+        from speechlid_tpu.data import (
+            CTCTokenizer, MergedDataset, RawManifest,
+        )
+
+        monkeypatch.setenv("SPEECHLID_CACHE_DISABLE", "1")
+        paths = _write_corpus(str(tmp_path), n=6)
+        mans = [RawManifest(p, max_duration=2.0, source="xf") for p in paths]
+        vocabs = {m.lang(): m.export_vocab() for m in mans}
+        toks = {l: CTCTokenizer(v) for l, v in vocabs.items()}
+        l2i = {l: i for i, l in enumerate(sorted(vocabs))}
+        return MergedDataset(mans, toks, l2i)
+
+    def test_feeder_native_batch_parity(self, dataset):
+        from speechlid_tpu.data import BucketFeeder, MultiBatchSampler
+
+        kw = dict(buckets_s=(0.5, 1.0), max_text_len=32, arrays_only=False)
+        sampler = MultiBatchSampler(dataset, batch_size=4, seed=3)
+        native = BucketFeeder(dataset, sampler, native_batch_decode=True,
+                              **kw)
+        sampler2 = MultiBatchSampler(dataset, batch_size=4, seed=3)
+        plain = BucketFeeder(dataset, sampler2, native_batch_decode=False,
+                             **kw)
+        assert native.native_batch_decode
+        pairs = list(zip(iter(native), iter(plain)))
+        assert len(pairs) > 0
+        for bn, bp in pairs:
+            np.testing.assert_array_equal(bn.wavs, bp.wavs)
+            np.testing.assert_array_equal(bn.wav_lengths, bp.wav_lengths)
+            np.testing.assert_array_equal(bn.texts, bp.texts)
+            np.testing.assert_array_equal(bn.text_lengths, bp.text_lengths)
+            np.testing.assert_array_equal(bn.langs, bp.langs)
+            assert bn.paths == bp.paths
+
+    def test_meta_matches_getitem(self, dataset):
+        for idx in (0, 5, 11, 17):
+            meta = dataset.meta(idx)
+            item = dataset[idx]
+            assert meta["path"] == item["path"]
+            assert meta["lang"] == item["lang"]
+            assert meta["lang_idx"] == item["lang_idx"]
+            assert meta["sentence"] == item["sentence"]
