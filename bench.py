@@ -691,13 +691,16 @@ def main() -> None:
         # 2026-08-18 (1117 utt/s b128) — it supersedes the bf16-mixed
         # workaround as the default bf16 stage
         ("wavlm_bf16_sweep", 450.0, True),
-        # dynamic-int8 serving path (approximate numerics — never the
-        # headline; _emit reports it as int8_best_utt_s + its own sweep)
-        ("wavlm_int8_sweep", 450.0, True),
         ("conformer", 420.0, True),
         ("calib_f32", 150.0, True),
         ("calib_bf16", 150.0, True),
         ("calib_int8", 150.0, True),
+        # dynamic-int8 serving path LAST: measured SLOWER than f32 on this
+        # worker (915 vs 1118 utt/s — the 1.35x int8 GEMM ceiling doesn't
+        # cover the per-dot dynamic-quantize VPU work; CHIP_FINDINGS_r3.md),
+        # so it's supporting data, never the headline (_emit reports it as
+        # int8_best_utt_s + its own sweep)
+        ("wavlm_int8_sweep", 450.0, True),
     ]
     if os.environ.get("SPEECHLID_BENCH_BF16_MIXED"):
         # the bf16-encoder/f32-head config that worked around the (now
