@@ -50,6 +50,11 @@ def main(argv=None) -> None:
     parser.add_argument("--submission", default=None)
     parser.add_argument("--sweep", action="store_true",
                         help="run the full SNR x noise grid")
+    parser.add_argument("--factor-sweep", default=None,
+                        help="SE blend-factor sweep 'start:stop:step' at "
+                             "the fixed --snr/--noise cell "
+                             "(lid/test_wavlm.sh: 0:1:0.05); needs "
+                             "--se-ckpt")
     parser.add_argument("--quant", default=None, choices=("int8",),
                         help="evaluate through the dynamic int8 engine "
                              "(ops/quant.py) — measures the quantization "
@@ -64,7 +69,8 @@ def main(argv=None) -> None:
     from speechlid_tpu.core import load_config
     from speechlid_tpu.core.checkpoint import load_checkpoint, restore_params
     from speechlid_tpu.cli.main_lid import build_data, build_feeder
-    from speechlid_tpu.eval import LidEvaluator, NoiseBank, run_sweep
+    from speechlid_tpu.eval import (LidEvaluator, NoiseBank,
+                                    run_factor_sweep, run_sweep)
     from speechlid_tpu.tasks import LidASRTask
 
     conf = load_config(args.config_dir, args.config_name, args.overrides)
@@ -146,6 +152,19 @@ def main(argv=None) -> None:
     if args.sweep:
         rows = run_sweep(evaluator, feeder_factory,
                          out_path=args.csv or "sweep_results.jsonl")
+        for row in rows:
+            print(json.dumps(row))
+        return
+
+    if args.factor_sweep:
+        start, stop, step = (float(v) for v in args.factor_sweep.split(":"))
+        n = int(round((stop - start) / step)) + 1
+        factors = [round(start + i * step, 6) for i in range(n)]
+        rows = run_factor_sweep(
+            evaluator, feeder_factory, factors,
+            snr=args.snr, noise=args.noise,
+            out_path=args.csv or "factor_sweep_results.jsonl",
+        )
         for row in rows:
             print(json.dumps(row))
         return

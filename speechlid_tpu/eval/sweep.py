@@ -53,3 +53,37 @@ def run_sweep(
             for row in rows:
                 f.write(json.dumps(row) + "\n")
     return rows
+
+
+def run_factor_sweep(
+    evaluator: LidEvaluator,
+    feeder_factory,
+    factors: Sequence[float],
+    snr: Optional[float] = None,
+    noise: Optional[str] = None,
+    out_path: Optional[str] = None,
+    max_batches: Optional[int] = None,
+) -> List[Dict]:
+    """SE blend-factor sweep at a fixed noise cell (lid/test_wavlm.sh:
+    factor 0..1 step 0.05 around a frozen --snr/--noise). The evaluator's
+    ``enhance_factor`` is swept in place; the jitted infer graph is reused
+    across points."""
+    if evaluator.enhance_fn is None:
+        raise ValueError("factor sweep needs an SE model (--se-ckpt)")
+    rows: List[Dict] = []
+    saved = evaluator.enhance_factor
+    try:
+        for factor in factors:
+            evaluator.enhance_factor = float(factor)
+            res = evaluator.evaluate(feeder_factory(), snr, noise,
+                                     max_batches=max_batches)
+            rows.append({"factor": float(factor), "snr": snr,
+                         "noise": noise or "clean", **res.as_dict()})
+    finally:
+        evaluator.enhance_factor = saved
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+    return rows

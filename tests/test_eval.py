@@ -206,3 +206,31 @@ class TestSweep:
         assert len(rows) == 3
         assert rows[0]["noise"] == "clean"
         assert os.path.getsize(out) > 0
+
+    def test_factor_sweep(self, setup, tmp_path):
+        from speechlid_tpu.eval import run_factor_sweep
+
+        task, variables, feeder_factory, bank = setup
+
+        def fake_se(wav):
+            return wav * 0.5
+
+        ev = LidEvaluator(task, variables, noise_bank=bank,
+                          enhance_fn=fake_se, enhance_factor=0.9)
+        out = str(tmp_path / "factor.jsonl")
+        rows = run_factor_sweep(
+            ev, feeder_factory, factors=(0.0, 0.5, 1.0),
+            snr=0.0, noise="white", out_path=out,
+        )
+        assert [r["factor"] for r in rows] == [0.0, 0.5, 1.0]
+        assert all(r["noise"] == "white" for r in rows)
+        assert ev.enhance_factor == 0.9  # restored after the sweep
+        assert os.path.getsize(out) > 0
+
+    def test_factor_sweep_requires_se(self, setup):
+        from speechlid_tpu.eval import run_factor_sweep
+
+        task, variables, feeder_factory, bank = setup
+        ev = LidEvaluator(task, variables, noise_bank=bank)
+        with pytest.raises(ValueError):
+            run_factor_sweep(ev, feeder_factory, factors=(0.0,))
