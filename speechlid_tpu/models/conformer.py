@@ -181,7 +181,12 @@ class _MaskedBatchNorm(nn.Module):
     batch_stats 'mean'/'var') — checkpoints are interchangeable."""
 
     use_running_average: bool
-    momentum: float = 0.99  # flax nn.BatchNorm default
+    # torch nn.BatchNorm1d default momentum=0.1 (the reference's BN,
+    # conformer.py:197) ⇒ running = 0.9*running + 0.1*batch.  flax's 0.99
+    # default tracks 10× slower and leaves eval-mode stats init-biased for
+    # the first few hundred steps — a real train/eval metric gap on short
+    # runs (docs/runs/EVAL_CHIP_2026-08-18.md investigation).
+    momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
@@ -203,6 +208,7 @@ class _MaskedBatchNorm(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             if mask is None:
+                n = jnp.float32(x.shape[0] * x.shape[1])
                 mean = xf.mean(axis=(0, 1))
                 var = xf.var(axis=(0, 1))
             else:
@@ -213,11 +219,14 @@ class _MaskedBatchNorm(nn.Module):
                     mean
                 )
             if not self.is_initializing():
+                # torch stores the UNBIASED variance in running_var while
+                # normalizing with the biased one — match both.
+                var_u = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )
                 ra_var.value = (
-                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                    self.momentum * ra_var.value + (1 - self.momentum) * var_u
                 )
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)

@@ -74,7 +74,7 @@ class ResNet1DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # (B, T, C)
-        norm = lambda n: nn.BatchNorm(use_running_average=not train, name=n)
+        norm = lambda n: nn.BatchNorm(momentum=0.9, use_running_average=not train, name=n)
         y = norm("bn1")(x)
         y = jax.nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -120,7 +120,7 @@ class ResNet1D(nn.Module):
                 ch *= 2
             y = ResNet1DBlock(ch, self.kernel_size, stride, self.dropout,
                               name=f"block_{i}")(y, train)
-        y = nn.BatchNorm(use_running_average=not train, name="bn_final")(y)
+        y = nn.BatchNorm(momentum=0.9, use_running_average=not train, name="bn_final")(y)
         y = jax.nn.relu(y)
         if self.use_rnn:
             y = nn.RNN(nn.GRUCell(ch), name="gru")(y)

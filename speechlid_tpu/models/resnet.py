@@ -25,7 +25,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+        norm = lambda name: nn.BatchNorm(momentum=0.9, use_running_average=not train, name=name)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=1, use_bias=False, name="conv1")(x)
         out = jax.nn.relu(norm("bn1")(out))
@@ -46,7 +46,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+        norm = lambda name: nn.BatchNorm(momentum=0.9, use_running_average=not train, name=name)
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         out = jax.nn.relu(norm("bn1")(out))
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
@@ -83,7 +83,7 @@ class ResNet(nn.Module):
         y = nn.Conv(self.m_channels, (3, 3), padding=1, use_bias=False,
                     name="conv1")(y)
         y = jax.nn.relu(
-            nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+            nn.BatchNorm(momentum=0.9, use_running_average=not train, name="bn1")(y)
         )
         strides = (1, 2, 2, 2)
         for li, (n, s) in enumerate(zip(self.num_blocks, strides)):
@@ -107,7 +107,7 @@ class ResNet(nn.Module):
         if not self.two_emb_layer:
             return jnp.zeros(()), embed_a
         out = jax.nn.relu(embed_a)
-        out = nn.BatchNorm(use_running_average=not train, use_bias=False,
+        out = nn.BatchNorm(momentum=0.9, use_running_average=not train, use_bias=False,
                            use_scale=False, name="seg_bn_1")(out)
         embed_b = nn.Dense(self.embed_dim, name="seg_2")(out)
         return embed_a, embed_b

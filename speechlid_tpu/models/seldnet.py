@@ -60,6 +60,7 @@ class SELDNet(nn.Module):
         ):
             x = nn.Conv(filters, (3, 3), padding="SAME", name=f"conv_{i}")(x)
             x = nn.BatchNorm(
+                momentum=0.9,
                 use_running_average=deterministic, name=f"bn_{i}"
             )(x)
             x = nn.relu(x)

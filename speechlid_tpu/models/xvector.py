@@ -34,6 +34,7 @@ class TdnnLayer(nn.Module):
         )(x)
         x = jax.nn.relu(x)
         return nn.BatchNorm(
+            momentum=0.9,
             use_running_average=not train, use_bias=False, use_scale=False
         )(x)
 
@@ -74,6 +75,7 @@ class XVEC(nn.Module):
         embed_a = nn.Dense(self.embed_dim, name="seg_1")(stats)
         out = jax.nn.relu(embed_a)
         out = nn.BatchNorm(
+            momentum=0.9,
             use_running_average=not train, use_bias=False, use_scale=False,
             name="seg_bn_1",
         )(out)

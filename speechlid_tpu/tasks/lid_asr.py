@@ -342,6 +342,16 @@ class LidASRTask(TaskModule):
         loss, _, _, _, mut = self._forward_ctc(variables, batch, rngs, False)
         return loss, {}, dict(mut)
 
+    def bn_update_loop(self, variables, batch):
+        """SWA BN re-estimation hook (Trainer._finalize_swa): one
+        train-mode forward, return refreshed batch_stats (reference
+        trainer.py:647-665 replays train batches after weight swap)."""
+        rngs = {
+            k: jax.random.PRNGKey(0) for k in self.rng_keys if k != "params"
+        }
+        _, _, _, _, mut = self._forward_ctc(variables, batch, rngs, False)
+        return dict(mut)["batch_stats"]
+
     def val_loop(self, variables, batch):
         loss, logits, lp, feat_lens, _ = self._forward_ctc(
             variables, batch, None, True

@@ -355,6 +355,35 @@ class TestMaskedBatchNorm:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_running_stats_match_torch_one_step(self):
+        """One train-mode update must land exactly on torch BatchNorm1d's
+        running stats (reference conformer.py:197 uses torch defaults:
+        momentum 0.1, unbiased running_var) — and the normalized output
+        must match torch's (biased batch var)."""
+        import torch
+
+        from speechlid_tpu.models.conformer import _MaskedBatchNorm
+
+        x = np.random.RandomState(3).randn(4, 20, 16).astype(np.float32)
+        mod = _MaskedBatchNorm(use_running_average=False)
+        v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        y, mut = mod.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+
+        tb = torch.nn.BatchNorm1d(16)  # torch defaults
+        with torch.no_grad():
+            ty = tb(torch.from_numpy(x.copy()).transpose(1, 2))
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["mean"]),
+            tb.running_mean.numpy(), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["var"]),
+            tb.running_var.numpy(), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y), ty.transpose(1, 2).numpy(), rtol=1e-4, atol=1e-5,
+        )
+
     def test_eval_matches_flax_batchnorm_defaults(self):
         """Fresh-init eval behavior equals flax nn.BatchNorm (mean 0,
         var 1, same eps/affine) — checkpoint interchangeability."""

@@ -132,6 +132,50 @@ class TestLidASRTask:
                         jax.tree_util.tree_leaves(final_feat)):
             np.testing.assert_array_equal(a, b)
 
+    def test_bn_update_loop_refreshes_stats(self, corpus):
+        import jax
+
+        ds, toks, lang2index, lang2vocab = corpus
+        task = LidASRTask(
+            lang2vocab=lang2vocab, lang2index=lang2index, tokenizers=toks,
+            n_blocks=1, encoder_dim=48, heads=2, dim_head=24,
+            sub_sampling=4, head_dim_head=12, head_num_head=4,
+            lr=2e-3, schedule=None, mask_times=0,
+        )
+        batch = next(iter(_feeder(ds)))
+        variables = task.init_variables(jax.random.PRNGKey(0), batch)
+        stats = task.bn_update_loop(variables, batch)
+        # fresh init is mean=0/var=1; one pass must move them
+        leaves = jax.tree_util.tree_leaves(stats)
+        assert leaves and any(
+            not np.allclose(np.asarray(l), 0.0)
+            and not np.allclose(np.asarray(l), 1.0)
+            for l in leaves
+        )
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+    @pytest.mark.slow
+    def test_swa_bn_reestimation_runs(self, corpus):
+        """Trainer._finalize_swa must call bn_update_loop and refresh
+        batch_stats (reference trainer.py:647-665 BN pass)."""
+        import jax
+
+        ds, toks, lang2index, lang2vocab = corpus
+        task = LidASRTask(
+            lang2vocab=lang2vocab, lang2index=lang2index, tokenizers=toks,
+            n_blocks=1, encoder_dim=48, heads=2, dim_head=24,
+            sub_sampling=4, head_dim_head=12, head_num_head=4,
+            lr=2e-3, schedule=None, mask_times=0,
+        )
+        tr = Trainer(total_epoch=2, use_swa=True, swa_start_ratio=0.5,
+                     use_progress_bar=False, seed=0)
+        tr.fit(task, _feeder(ds), None)
+        stats = jax.device_get(tr.state.model_state["batch_stats"])
+        leaves = jax.tree_util.tree_leaves(stats)
+        assert leaves and all(
+            np.all(np.isfinite(np.asarray(l))) for l in leaves
+        )
+
     def test_normalize_scores(self):
         s = np.asarray([[-0.02, -0.5, -0.7]])
         p = normalize_scores(s)
