@@ -250,8 +250,8 @@ class LidEvaluator:
         (lm_select, test.py:202-220).  ``default`` (the model's own
         argmax) wins when no LM produces a finite perplexity — a missing
         LM or all-blank decodes must not force language 0."""
-        best_lang, best_ppl = default, float("inf")
         vmax = max(self.task.vocab_sizes)
+        ppls: Dict[int, float] = {}
         for lang, idx in self.task.lang2index.items():
             tok = self.task.tokenizers.get(lang)
             lm = self.lms.get(lang)
@@ -260,9 +260,19 @@ class LidEvaluator:
             ids = logits_all[idx, : int(feat_len)].argmax(-1)[None, :]
             text = tok.ctc_decode(ids, [ids.shape[1]], blank_id=vmax)[0]
             ppl = lm.perplexity(text) if text.strip() else float("inf")
-            if ppl < best_ppl:
-                best_ppl, best_lang = ppl, idx
-        return best_lang
+            if np.isfinite(ppl):
+                ppls[idx] = ppl
+        if not ppls:
+            return default
+        best_ppl = min(ppls.values())
+        winners = [i for i, p in ppls.items() if p <= best_ppl * (1 + 1e-9)]
+        # all-OOV decodes give IDENTICAL pure-<unk> perplexity; the
+        # reference's bare argmin picks dict-order-first on such ties (a
+        # constant language) — a tie carries no LM evidence, so keep the
+        # acoustic argmax when it is among the tied winners
+        if default in winners:
+            return default
+        return winners[0]
 
     @staticmethod
     def _dump_csv(path: str, result: EvalResult) -> None:

@@ -136,6 +136,48 @@ class TestEvaluator:
             (len(task.lang2index), 10, max(task.vocab_sizes) + 1), np.float32)
         assert ev._lm_select(logits_all, 10, default=2) == 2
 
+    def test_lm_select_tie_keeps_argmax(self, setup):
+        """All-OOV decodes give identical pure-<unk> perplexity under
+        every LM; the tie carries no evidence, so the model's own argmax
+        must survive (a bare argmin would force dict-order language 0)."""
+        import numpy as np
+
+        task, variables, feeder_factory, bank = setup
+
+        class _ConstLM:
+            def perplexity(self, text):
+                return 42.0
+
+        ev = LidEvaluator(task, variables,
+                          lms={l: _ConstLM() for l in task.lang2index})
+        tok = next(iter(task.tokenizers.values()))
+        ch = next(i for i, c in tok.labels_map.items() if c.strip())
+        logits_all = np.zeros(
+            (len(task.lang2index), 10, max(task.vocab_sizes) + 1), np.float32)
+        logits_all[..., ch] = 5.0  # non-space decode so ppl is consulted
+        assert ev._lm_select(logits_all, 10, default=1) == 1
+
+    def test_lm_select_unique_min_overrides_argmax(self, setup):
+        import numpy as np
+
+        task, variables, feeder_factory, bank = setup
+        class _LM:
+            def __init__(self, p):
+                self.p = p
+
+            def perplexity(self, text):
+                return self.p
+
+        langs = sorted(task.lang2index, key=task.lang2index.get)
+        lms = {l: _LM(5.0 if i == 0 else 50.0) for i, l in enumerate(langs)}
+        ev = LidEvaluator(task, variables, lms=lms)
+        tok = next(iter(task.tokenizers.values()))
+        ch = next(i for i, c in tok.labels_map.items() if c.strip())
+        logits_all = np.zeros(
+            (len(task.lang2index), 10, max(task.vocab_sizes) + 1), np.float32)
+        logits_all[..., ch] = 5.0
+        assert ev._lm_select(logits_all, 10, default=1) == 0
+
     def test_csv_dump(self, setup, tmp_path):
         task, variables, feeder_factory, bank = setup
         ev = LidEvaluator(task, variables, noise_bank=bank)
