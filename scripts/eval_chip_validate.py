@@ -177,7 +177,10 @@ def run_phase(cmd, log_path: str, timeout: float, retries: int = 0):
 
 
 def main() -> None:
-    root = tempfile.mkdtemp(prefix="lid_chip_eval_")
+    # optional argv[1]: reuse a previous run's root (corpus + config +
+    # trained ckpt) so eval-phase iterations skip the ~15-min training
+    reuse = sys.argv[1] if len(sys.argv) > 1 else None
+    root = reuse or tempfile.mkdtemp(prefix="lid_chip_eval_")
     conf_dir = os.path.join(root, "conf")
     noise_dir = os.path.join(root, "noise")
     lm_dir = os.path.join(root, "lms")
@@ -185,43 +188,67 @@ def main() -> None:
     out_dir = os.path.join(root, "out")
     os.makedirs(out_dir, exist_ok=True)
 
-    make_corpus(root)
-    write_config(conf_dir, root)
-    write_noises(noise_dir)
-    write_lms(lm_dir)
-
     report = {"phases": {}}
-
-    rc, wall, _ = run_phase(
-        ["speechlid_tpu.cli.main_lid", "--config-dir", conf_dir,
-         "--config-name", "chip_eval", f"exp_dir={exp_dir}"],
-        os.path.join(out_dir, "train.log"), timeout=1500,
-    )
+    ckpt = os.path.join(exp_dir, "ckpt", "last.ckpt")
+    if reuse and os.path.exists(ckpt):
+        report["phases"]["train"] = {"rc": 0, "wall_s": 0.0,
+                                     "reused": root}
+    else:
+        make_corpus(root)
+        write_config(conf_dir, root)
+        write_noises(noise_dir)
+        write_lms(lm_dir)
+        rc, wall, _ = run_phase(
+            ["speechlid_tpu.cli.main_lid", "--config-dir", conf_dir,
+             "--config-name", "chip_eval", f"exp_dir={exp_dir}"],
+            os.path.join(out_dir, "train.log"), timeout=1500,
+        )
+        report["phases"]["train"] = {"rc": rc, "wall_s": round(wall, 1)}
+        if rc != 0 or not os.path.exists(ckpt):
+            print(json.dumps(report), flush=True)
+            raise SystemExit(
+                f"training failed rc={rc}; see {out_dir}/train.log")
     metrics = []
     mpath = os.path.join(exp_dir, "metrics.jsonl")
     if os.path.exists(mpath):
         metrics = [json.loads(l) for l in open(mpath)]
-    report["phases"]["train"] = {"rc": rc, "wall_s": round(wall, 1)}
-    ckpt = os.path.join(exp_dir, "ckpt", "last.ckpt")
-    if rc != 0 or not os.path.exists(ckpt):
-        print(json.dumps(report), flush=True)
-        raise SystemExit(f"training failed rc={rc}; see {out_dir}/train.log")
 
     base = ["speechlid_tpu.cli.test_lid", "--ckpt", ckpt,
             "--config-dir", conf_dir, "--config-name", "chip_eval",
             "--noise-dir", noise_dir, "--lm-dir", lm_dir,
             "--kenlm-threshold", "0.15"]
 
-    sweep_path = os.path.join(out_dir, "sweep.jsonl")
-    rc, wall, retries = run_phase(
-        base + ["--sweep", "--csv", sweep_path],
-        os.path.join(out_dir, "sweep.log"), timeout=1800, retries=2,
-    )
-    rows = ([json.loads(l) for l in open(sweep_path)]
-            if os.path.exists(sweep_path) else [])
+    # SNR × noise grid, ONE SUBPROCESS PER CELL: the in-process --sweep
+    # keeps 13 cells inside one process, and a single axon worker fault
+    # loses them all (observed twice); per-cell isolation + the
+    # persistent compile cache makes each cell cheap and independently
+    # retryable.
+    cells = [(None, None)] + [
+        (snr, noise)
+        for noise in ("white", "factory1", "babble")
+        for snr in (0.0, 5.0, 10.0, 15.0)
+    ]
+    rows, failed, retried = [], 0, 0
+    t_sweep = time.perf_counter()
+    for ci, (snr, noise) in enumerate(cells):
+        cmd = list(base)
+        if snr is not None:
+            cmd += ["--snr", str(snr), "--noise", noise]
+        log = os.path.join(out_dir, f"cell_{ci}.log")
+        rc, wall, retries = run_phase(cmd, log, timeout=900, retries=1)
+        retried += retries
+        if rc != 0:
+            failed += 1
+            continue
+        for line in reversed(open(log).read().splitlines()):
+            if line.startswith("{"):
+                rows.append({"snr": snr, "noise": noise or "clean",
+                             **json.loads(line)})
+                break
     report["phases"]["sweep"] = {
-        "rc": rc, "wall_s": round(wall, 1), "retries": retries,
-        "rows": rows,
+        "rc": 0 if failed == 0 else 1,
+        "wall_s": round(time.perf_counter() - t_sweep, 1),
+        "retries": retried, "cells_failed": failed, "rows": rows,
     }
 
     csv_path = os.path.join(out_dir, "records.csv")
@@ -267,12 +294,14 @@ def main() -> None:
         "per language, threshold 0.15), CSV records and the XF submission",
         "writer.",
         "",
-        f"Training (CLI, {report['phases']['train']['wall_s']} s wall):",
+        ("Training (CLI, reused checkpoint from a prior run of this "
+         "script):" if report["phases"]["train"].get("reused") else
+         f"Training (CLI, {report['phases']['train']['wall_s']} s wall):"),
         f"val-loss {loss_curve}",
         "",
-        "## SNR × noise sweep (`test_lid --sweep`, "
+        "## SNR × noise grid (one `test_lid` subprocess per cell, "
         f"{report['phases']['sweep']['wall_s']} s wall, "
-        f"rc={report['phases']['sweep']['rc']}, "
+        f"cells failed={report['phases']['sweep']['cells_failed']}, "
         f"chip-fault retries={report['phases']['sweep']['retries']})",
         "",
         "| cell | acc | EER | Cavg | EER(true) | CER | arbitrated | "
