@@ -163,20 +163,30 @@ def run_phase(cmd, log_path: str, timeout: float, retries: int = 0):
     attempts = 0
     while True:
         t0 = time.perf_counter()
-        with open(log_path, "w") as log:
-            proc = subprocess.run(
-                [sys.executable, "-m"] + cmd, stdout=log,
-                stderr=subprocess.STDOUT, cwd=REPO, env=env,
-                timeout=timeout,
-            )
+        try:
+            with open(log_path, "w") as log:
+                proc = subprocess.run(
+                    [sys.executable, "-m"] + cmd, stdout=log,
+                    stderr=subprocess.STDOUT, cwd=REPO, env=env,
+                    timeout=timeout,
+                )
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            # a hung worker must not abort the whole driver — a hang is
+            # just another retryable per-phase failure
+            rc = -9
         wall = time.perf_counter() - t0
-        if proc.returncode == 0 or attempts >= retries:
-            return proc.returncode, wall, attempts
+        if rc == 0 or attempts >= retries:
+            return rc, wall, attempts
         attempts += 1
         _wait_for_worker()
 
 
 def main() -> None:
+    # stamp the artifact date at START — multi-hour runs cross midnight
+    # and a report-time date silently diverges from references written
+    # during the run
+    date = datetime.date.today().isoformat()
     # optional argv[1]: reuse a previous run's root (corpus + config +
     # trained ckpt) so eval-phase iterations skip the ~15-min training
     reuse = sys.argv[1] if len(sys.argv) > 1 else None
@@ -245,6 +255,8 @@ def main() -> None:
                 rows.append({"snr": snr, "noise": noise or "clean",
                              **json.loads(line)})
                 break
+        else:
+            failed += 1  # rc=0 but no result JSON — count, don't hide
     report["phases"]["sweep"] = {
         "rc": 0 if failed == 0 else 1,
         "wall_s": round(time.perf_counter() - t_sweep, 1),
@@ -264,7 +276,7 @@ def main() -> None:
         if line.startswith("{"):
             single = json.loads(line)
             break
-    n_csv = (len(open(csv_path).read().splitlines()) - 1
+    n_csv = (max(0, len(open(csv_path).read().splitlines()) - 1)
              if os.path.exists(csv_path) else 0)
     n_sub = (len(open(sub_path).read().splitlines())
              if os.path.exists(sub_path) else 0)
@@ -277,7 +289,6 @@ def main() -> None:
     import jax
 
     platform = jax.devices()[0].platform
-    date = datetime.date.today().isoformat()
     doc = os.path.join(REPO, "docs", "runs", f"EVAL_CHIP_{date}.md")
     val = [m for m in metrics if "avg_val_loss" in m]
     loss_curve = " → ".join(f"{m['avg_val_loss']:.3f}" for m in val)

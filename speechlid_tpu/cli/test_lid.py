@@ -61,6 +61,20 @@ def main(argv=None) -> None:
                              "EER/CER delta on an unchanged checkpoint")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
+    factors = None
+    if args.factor_sweep:
+        # validate BEFORE the (minutes-long) checkpoint/model load
+        try:
+            start, stop, step = (float(v)
+                                 for v in args.factor_sweep.split(":"))
+        except ValueError:
+            parser.error("--factor-sweep must be start:stop:step")
+        if step == 0:
+            parser.error("--factor-sweep step must be nonzero")
+        if not args.se_ckpt:
+            parser.error("--factor-sweep needs --se-ckpt")
+        n = int(round((stop - start) / step)) + 1
+        factors = [round(start + i * step, 6) for i in range(max(n, 0))]
     logging.basicConfig(level=logging.INFO, force=True)
 
     from speechlid_tpu.core.compile_cache import enable_compilation_cache
@@ -156,10 +170,7 @@ def main(argv=None) -> None:
             print(json.dumps(row))
         return
 
-    if args.factor_sweep:
-        start, stop, step = (float(v) for v in args.factor_sweep.split(":"))
-        n = int(round((stop - start) / step)) + 1
-        factors = [round(start + i * step, 6) for i in range(n)]
+    if factors is not None:
         rows = run_factor_sweep(
             evaluator, feeder_factory, factors,
             snr=args.snr, noise=args.noise,

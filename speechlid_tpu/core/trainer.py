@@ -529,16 +529,29 @@ class Trainer:
         )
         if has_bn and bn_fn is not None:
             jit_bn = jax.jit(
-                lambda state, batch: bn_fn(
-                    {"params": state.params, **state.model_state}, batch
+                lambda state, batch, seed: bn_fn(
+                    {"params": state.params, **state.model_state}, batch,
+                    seed,
                 )
             )
-            for batch in train_loader:
-                batch = self._place_batch(batch)
-                new_stats = jit_bn(self.state, batch)
-                ms = dict(self.state.model_state)
-                ms["batch_stats"] = new_stats
-                self.state = self.state.replace(model_state=ms)
+            # the hook updates stats through each layer's EMA (decay m),
+            # starting from the PRE-SWAP stats; torch's update_bn resets
+            # and averages exactly.  Approximate that by re-passing the
+            # loader until the stale mass m^N is negligible (one pass
+            # already suffices for loaders with ≥60 batches).
+            seed = 0
+            for _ in range(5):
+                n_batches = 0
+                for batch in train_loader:
+                    batch = self._place_batch(batch)
+                    new_stats = jit_bn(self.state, batch, seed)
+                    seed += 1
+                    n_batches += 1
+                    ms = dict(self.state.model_state)
+                    ms["batch_stats"] = new_stats
+                    self.state = self.state.replace(model_state=ms)
+                if n_batches == 0 or 0.9 ** seed < 5e-3:
+                    break
         # the averaged weights must land on disk even without a BN
         # re-estimation pass — otherwise the whole SWA result of the run
         # only ever existed in process memory

@@ -20,6 +20,13 @@ DEFAULT_SNRS = (0.0, 5.0, 10.0, 15.0)
 DEFAULT_NOISES = ("white", "factory1", "factory2", "babble")
 
 
+def _write_rows(out_path: str, rows: List[Dict]) -> None:
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
 def run_sweep(
     evaluator: LidEvaluator,
     feeder_factory,
@@ -48,10 +55,7 @@ def run_sweep(
             )
             rows.append({"snr": snr, "noise": noise, **res.as_dict()})
     if out_path:
-        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        with open(out_path, "w") as f:
-            for row in rows:
-                f.write(json.dumps(row) + "\n")
+        _write_rows(out_path, rows)
     return rows
 
 
@@ -82,8 +86,5 @@ def run_factor_sweep(
     finally:
         evaluator.enhance_factor = saved
     if out_path:
-        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        with open(out_path, "w") as f:
-            for row in rows:
-                f.write(json.dumps(row) + "\n")
+        _write_rows(out_path, rows)
     return rows

@@ -185,7 +185,7 @@ class _MaskedBatchNorm(nn.Module):
     # conformer.py:197) ⇒ running = 0.9*running + 0.1*batch.  flax's 0.99
     # default tracks 10× slower and leaves eval-mode stats init-biased for
     # the first few hundred steps — a real train/eval metric gap on short
-    # runs (docs/runs/EVAL_CHIP_2026-08-18.md investigation).
+    # runs (docs/runs/CHIP_FINDINGS_r3.md "Train/eval metric gap").
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32

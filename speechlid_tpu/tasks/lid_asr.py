@@ -342,12 +342,16 @@ class LidASRTask(TaskModule):
         loss, _, _, _, mut = self._forward_ctc(variables, batch, rngs, False)
         return loss, {}, dict(mut)
 
-    def bn_update_loop(self, variables, batch):
+    def bn_update_loop(self, variables, batch, seed=0):
         """SWA BN re-estimation hook (Trainer._finalize_swa): one
         train-mode forward, return refreshed batch_stats (reference
-        trainer.py:647-665 replays train batches after weight swap)."""
+        trainer.py:647-665 replays train batches after weight swap).
+        ``seed`` varies per batch so augmentation/dropout draws differ
+        across the pass instead of repeating one corruption pattern."""
+        base = jax.random.PRNGKey(0)
         rngs = {
-            k: jax.random.PRNGKey(0) for k in self.rng_keys if k != "params"
+            k: jax.random.fold_in(jax.random.fold_in(base, i), seed)
+            for i, k in enumerate(self.rng_keys) if k != "params"
         }
         _, _, _, _, mut = self._forward_ctc(variables, batch, rngs, False)
         return dict(mut)["batch_stats"]

@@ -276,3 +276,17 @@ class TestSweep:
         ev = LidEvaluator(task, variables, noise_bank=bank)
         with pytest.raises(ValueError):
             run_factor_sweep(ev, feeder_factory, factors=(0.0,))
+
+    def test_factor_sweep_cli_arg_validation(self):
+        """Bad --factor-sweep specs must die in argparse, BEFORE the
+        minutes-long checkpoint/model load."""
+        from speechlid_tpu.cli.test_lid import main as tl_main
+
+        base = ["--ckpt", "x.ckpt", "--config-dir", "c", "--config-name",
+                "n", "--se-ckpt", "s.ckpt"]
+        for bad in ("0:1", "0:1:0", "a:b:c"):
+            with pytest.raises(SystemExit):
+                tl_main(base + ["--factor-sweep", bad])
+        with pytest.raises(SystemExit):  # missing --se-ckpt
+            tl_main(["--ckpt", "x.ckpt", "--config-dir", "c",
+                     "--config-name", "n", "--factor-sweep", "0:1:0.5"])
