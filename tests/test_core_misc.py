@@ -91,6 +91,44 @@ class TestCache:
         assert len(calls) == 2
 
 
+class TestCompileCacheSeed:
+    """seed_cache links committed entries into the runtime cache dir.
+
+    The seed is what keeps the driver's bench warm across container
+    re-materialization (only the git tree survives; ~/.cache does not).
+    """
+
+    def test_seeds_missing_entries_only(self, tmp_path):
+        from speechlid_tpu.core.compile_cache import seed_cache
+
+        seed = tmp_path / "seed"
+        cache = tmp_path / "cache"
+        seed.mkdir()
+        cache.mkdir()
+        (seed / "aa").write_bytes(b"x" * 10)
+        (seed / "bb").write_bytes(b"y" * 20)
+        (cache / "bb").write_bytes(b"already-there")
+        (seed / "subdir").mkdir()  # non-files are skipped
+
+        n = seed_cache(str(cache), seed_dir=str(seed))
+        assert n == 1
+        assert (cache / "aa").read_bytes() == b"x" * 10
+        assert (cache / "bb").read_bytes() == b"already-there"  # untouched
+        # idempotent
+        assert seed_cache(str(cache), seed_dir=str(seed)) == 0
+
+    def test_missing_seed_dir_is_noop(self, tmp_path):
+        from speechlid_tpu.core.compile_cache import seed_cache
+
+        assert seed_cache(str(tmp_path), seed_dir=str(tmp_path / "no")) == 0
+
+    def test_env_override(self, tmp_path, monkeypatch):
+        from speechlid_tpu.core.compile_cache import _default_seed_dir
+
+        monkeypatch.setenv("SPEECHLID_CACHE_SEED_DIR", str(tmp_path / "s"))
+        assert _default_seed_dir() == str(tmp_path / "s")
+
+
 class TestProfiler:
     def test_accumulates(self):
         rec = TimeCostRecoder()
