@@ -13,8 +13,10 @@ UNCONDITIONALLY.  The orchestrator is deadline-proof:
 - ``atexit`` + SIGTERM/SIGINT handlers emit the final JSON with whatever
   stages completed, so even a driver kill records partials;
 - every stage subprocess enables the persistent XLA compile cache
-  (``speechlid_tpu.core.compile_cache``) — reruns skip the multi-minute
-  tunneled compiles;
+  (``speechlid_tpu.core.compile_cache``, runtime dir under ``~/.cache``)
+  — reruns skip the multi-minute tunneled compiles; nothing is pre-baked
+  into the repo, so a fresh container pays honest cold compiles and
+  relies on incremental in-stage emission to land partial results;
 - the full-bf16 WavLM stage (a documented worker hang —
   docs/runs/CHIP_FINDINGS_r2.md) only runs with
   ``SPEECHLID_BENCH_FULL_BF16=1``.

@@ -92,41 +92,63 @@ class TestCache:
 
 
 class TestCompileCacheSeed:
-    """seed_cache links committed entries into the runtime cache dir.
+    """seed_cache copies entries from an OPT-IN external seed directory.
 
-    The seed is what keeps the driver's bench warm across container
-    re-materialization (only the git tree survives; ~/.cache does not).
+    No seed is committed to the repo (pre-baked compiled artifacts would be
+    an unauditable supply-chain surface); seeding only happens when
+    SPEECHLID_CACHE_SEED_DIR points at a captured snapshot, entries are
+    copied (never hard-linked, so XLA rewriting a runtime entry can't
+    mutate the source), and only cache-entry-shaped names are touched.
     """
 
-    def test_seeds_missing_entries_only(self, tmp_path):
+    def test_seeds_missing_cache_entries_only(self, tmp_path):
         from speechlid_tpu.core.compile_cache import seed_cache
 
         seed = tmp_path / "seed"
         cache = tmp_path / "cache"
         seed.mkdir()
         cache.mkdir()
-        (seed / "aa").write_bytes(b"x" * 10)
-        (seed / "bb").write_bytes(b"y" * 20)
-        (cache / "bb").write_bytes(b"already-there")
-        (seed / "subdir").mkdir()  # non-files are skipped
+        (seed / "aa-cache").write_bytes(b"x" * 10)
+        (seed / "bb-cache").write_bytes(b"y" * 20)
+        (seed / "README.md").write_bytes(b"docs never seed")
+        (cache / "bb-cache").write_bytes(b"already-there")
+        (seed / "subdir-cache").mkdir()  # non-files are skipped
 
         n = seed_cache(str(cache), seed_dir=str(seed))
         assert n == 1
-        assert (cache / "aa").read_bytes() == b"x" * 10
-        assert (cache / "bb").read_bytes() == b"already-there"  # untouched
+        assert (cache / "aa-cache").read_bytes() == b"x" * 10
+        assert (cache / "bb-cache").read_bytes() == b"already-there"
+        assert not (cache / "README.md").exists()
+        # copies, not hard links: mutating the runtime entry must not
+        # touch the seed source
+        assert (
+            os.stat(cache / "aa-cache").st_ino
+            != os.stat(seed / "aa-cache").st_ino
+        )
         # idempotent
         assert seed_cache(str(cache), seed_dir=str(seed)) == 0
+
+    def test_no_env_means_noop(self, tmp_path, monkeypatch):
+        from speechlid_tpu.core.compile_cache import seed_cache
+
+        monkeypatch.delenv("SPEECHLID_CACHE_SEED_DIR", raising=False)
+        assert seed_cache(str(tmp_path)) == 0
 
     def test_missing_seed_dir_is_noop(self, tmp_path):
         from speechlid_tpu.core.compile_cache import seed_cache
 
         assert seed_cache(str(tmp_path), seed_dir=str(tmp_path / "no")) == 0
 
-    def test_env_override(self, tmp_path, monkeypatch):
-        from speechlid_tpu.core.compile_cache import _default_seed_dir
+    def test_env_opt_in(self, tmp_path, monkeypatch):
+        from speechlid_tpu.core.compile_cache import seed_cache
 
-        monkeypatch.setenv("SPEECHLID_CACHE_SEED_DIR", str(tmp_path / "s"))
-        assert _default_seed_dir() == str(tmp_path / "s")
+        seed = tmp_path / "s"
+        cache = tmp_path / "c"
+        seed.mkdir()
+        cache.mkdir()
+        (seed / "zz-cache").write_bytes(b"z")
+        monkeypatch.setenv("SPEECHLID_CACHE_SEED_DIR", str(seed))
+        assert seed_cache(str(cache)) == 1
 
 
 class TestProfiler:
