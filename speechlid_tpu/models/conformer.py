@@ -595,3 +595,151 @@ class FBankLayer(nn.Module):
             f_mask=self.f_mask,
         )
         return feats, f_len
+
+
+# ---------------------------------------------------------------------------
+# torch → flax checkpoint conversion (reference lid/conformer.py state_dicts)
+# ---------------------------------------------------------------------------
+
+
+def _np(v):
+    import numpy as np
+
+    # copy, never view: torch .numpy() aliases the tensor's storage, and a
+    # later in-place torch update (BN running stats, optimizer steps) would
+    # silently mutate the converted flax tree
+    return np.array(v)
+
+
+def convert_conformer_block_state(sd: dict, prefix: str) -> Tuple[dict, dict]:
+    """One reference ``ConformerBlock`` (lid/conformer.py:211-259) state
+    slice → (flax params subtree, batch_stats subtree) for our
+    :class:`ConformerBlock`.
+
+    torch layout (names produced by the reference's Sequential/PreNorm/Scale
+    wrappers): ``ff1.fn.norm`` pre-LN, ``ff1.fn.fn.net.{0,3}`` the two
+    Linears, ``attn.norm`` + ``attn.fn.{to_q,to_kv,to_out,rel_pos_emb}``,
+    ``conv.net.{0 LN, 2 pointwise-in, 4.conv depthwise, 5 BN,
+    7 pointwise-out}``, ``ff2.*`` like ff1, ``post_norm``.
+    """
+    import numpy as np
+
+    def lin(name):  # torch Linear → flax Dense
+        return {
+            "kernel": _np(sd[prefix + name + ".weight"]).T,
+            "bias": _np(sd[prefix + name + ".bias"]),
+        }
+
+    def ln(name):
+        return {
+            "scale": _np(sd[prefix + name + ".weight"]),
+            "bias": _np(sd[prefix + name + ".bias"]),
+        }
+
+    def pointwise(name):  # torch Conv1d k=1 → flax Dense
+        w = _np(sd[prefix + name + ".weight"])  # (O, I, 1)
+        return {
+            "kernel": w[:, :, 0].T,
+            "bias": _np(sd[prefix + name + ".bias"]),
+        }
+
+    params = {
+        "LayerNorm_0": ln("ff1.fn.norm"),
+        "ff1": {"Dense_0": lin("ff1.fn.fn.net.0"),
+                "Dense_1": lin("ff1.fn.fn.net.3")},
+        "LayerNorm_1": ln("attn.norm"),
+        "attn": {
+            "to_q": {"kernel": _np(sd[prefix + "attn.fn.to_q.weight"]).T},
+            "to_kv": {"kernel": _np(sd[prefix + "attn.fn.to_kv.weight"]).T},
+            "to_out": lin("attn.fn.to_out"),
+            "rel_pos_emb": _np(sd[prefix + "attn.fn.rel_pos_emb.weight"]),
+        },
+        "conv": {
+            "LayerNorm_0": ln("conv.net.0"),
+            "Dense_0": pointwise("conv.net.2"),
+            "depthwise": {
+                # torch depthwise Conv1d weight (C, 1, K) → flax grouped
+                # nn.Conv kernel (K, 1, C)
+                "kernel": np.transpose(
+                    _np(sd[prefix + "conv.net.4.conv.weight"]), (2, 1, 0)
+                ),
+                "bias": _np(sd[prefix + "conv.net.4.conv.bias"]),
+            },
+            "bn": {
+                "scale": _np(sd[prefix + "conv.net.5.weight"]),
+                "bias": _np(sd[prefix + "conv.net.5.bias"]),
+            },
+            "Dense_1": pointwise("conv.net.7"),
+        },
+        "LayerNorm_2": ln("ff2.fn.norm"),
+        "ff2": {"Dense_0": lin("ff2.fn.fn.net.0"),
+                "Dense_1": lin("ff2.fn.fn.net.3")},
+        "post_norm": ln("post_norm"),
+    }
+    batch_stats = {
+        "conv": {
+            "bn": {
+                "mean": _np(sd[prefix + "conv.net.5.running_mean"]),
+                "var": _np(sd[prefix + "conv.net.5.running_var"]),
+            }
+        }
+    }
+    return params, batch_stats
+
+
+def convert_conformer_state(
+    torch_state: dict,
+    n_blocks: int,
+    sub_sampling: int = 2,
+    prefix: str = "",
+) -> dict:
+    """Reference ``ConformerModel`` state_dict (numpy-converted) → flax
+    variables ``{"params": …, "batch_stats": …}`` for our unrolled
+    :class:`ConformerModel`.
+
+    The reference's unused ``linear`` module (constructed but never called,
+    lid/conformer.py:428,452) and the buffer-less positional encoder are
+    skipped.
+    """
+    import numpy as np
+
+    sd = {k: _np(v) for k, v in torch_state.items()}
+    params: dict = {}
+    stats: dict = {}
+    if sub_sampling == 4:
+        w0 = sd[prefix + "sub_sampling.conv.0.weight"]  # (O, 1, 3, 3)
+        w2 = sd[prefix + "sub_sampling.conv.2.weight"]  # (O, O, 3, 3)
+        odim = w0.shape[0]
+        out_w = sd[prefix + "sub_sampling.out.weight"]  # (O, C*F)
+        f_dim = out_w.shape[1] // odim
+        # torch flattens (B,T,C,F) channel-major (torch row j ↔ c=j//F,
+        # f=j%F); ours flattens (B,T,F,C) freq-major (our row = f*C + c).
+        # argsort of the our-row index per torch row = for each our row,
+        # the torch row that feeds it.
+        j = np.arange(out_w.shape[1])
+        c, f = j // f_dim, j % f_dim
+        params["subsample"] = {
+            "Conv_0": {"kernel": np.transpose(w0, (2, 3, 1, 0)),
+                       "bias": sd[prefix + "sub_sampling.conv.0.bias"]},
+            "Conv_1": {"kernel": np.transpose(w2, (2, 3, 1, 0)),
+                       "bias": sd[prefix + "sub_sampling.conv.2.bias"]},
+            "Dense_0": {
+                "kernel": out_w.T[np.argsort(f * odim + c)],
+                "bias": sd[prefix + "sub_sampling.out.bias"],
+            },
+        }
+    else:
+        w = sd[prefix + "sub_sampling.sub_sampling.0.weight"]  # (I, I, 3)
+        params["subsample"] = {
+            "Conv_0": {"kernel": np.transpose(w, (2, 1, 0)),
+                       "bias": sd[prefix + "sub_sampling.sub_sampling.0.bias"]},
+            "Dense_0": {
+                "kernel": sd[prefix + "sub_sampling.linear.weight"].T,
+                "bias": sd[prefix + "sub_sampling.linear.bias"],
+            },
+        }
+    for i in range(n_blocks):
+        bp, bs = convert_conformer_block_state(sd, f"{prefix}encoders.{i}.")
+        params[f"block_{i}"] = bp
+        stats[f"block_{i}"] = bs
+    return {"params": params, "batch_stats": stats}

@@ -245,6 +245,8 @@ class MutiLangModel(nn.Module):
     dim_head: int = 32
     num_head: int = 8
     use_double_swish: bool = False
+    disc_hidden: int = 128  # discriminator MLP width (reference hidden_dim,
+    # lid/ConformerLangModel.py:377 — LidSuperviseModule passes 32)
     dtype: Dtype = jnp.float32
     quant_dot: Optional[str] = None  # int8 serving path for the heads
     # (pair with featurizer quant via WavLMConfig.quant_dot / ConformerModel)
@@ -262,7 +264,9 @@ class MutiLangModel(nn.Module):
             dtype=self.dtype,
             quant_dot=self.quant_dot,
         )
-        self.discriminator = LangDiscriminatorMLP(n_lang=len(self.vocab_sizes))
+        self.discriminator = LangDiscriminatorMLP(
+            n_lang=len(self.vocab_sizes), hidden_dim=self.disc_hidden
+        )
 
     def __call__(
         self,
@@ -299,3 +303,90 @@ class MutiLangModel(nn.Module):
             "mlp_scores": mlp_scores,
             "pred_lang": jnp.argmax(scores, axis=-1),
         }
+
+
+# ---------------------------------------------------------------------------
+# torch → flax conversion for the reference supervised joint model
+# ---------------------------------------------------------------------------
+
+
+def convert_supervised_lid_state(
+    torch_state: Dict[str, "np.ndarray"],
+    langs: Sequence[str],
+    lang2vocab: Dict[str, int],
+    n_blocks: int,
+    sub_sampling: int = 2,
+    head_layers: int = 1,
+) -> Dict:
+    """Reference ``ConformerMutiLangModel`` state_dict (numpy-converted,
+    lid/ConformerLangModel.py:16) → flax variables for our
+    :class:`MutiLangModel` with a ConformerModel featurizer.
+
+    ``langs`` fixes the stacking order (axis 0 of every head leaf) and must
+    match the ``vocab_sizes`` order of the target model.  The reference's
+    per-language ``Linear(dim, V_l+1)`` heads (blank at index V_l) map into
+    the max-V-padded stacked Dense: char rows 0..V_l-1 keep their index,
+    the blank row lands at the shared LAST index V_max, padded slots are
+    zeros (masked to -inf at apply time, MultiLangHeadStack.__call__).
+    """
+    from speechlid_tpu.models.conformer import (
+        convert_conformer_block_state,
+        convert_conformer_state,
+    )
+
+    sd = {k: np.array(v) for k, v in torch_state.items()}  # copy, not view
+    feat = convert_conformer_state(
+        sd, n_blocks=n_blocks, sub_sampling=sub_sampling,
+        prefix="model.featurizer.",
+    )
+    vmax = max(lang2vocab[lg] for lg in langs)
+
+    head_params: list = []
+    head_stats: list = []
+    for lg in langs:
+        hp: dict = {}
+        hs: dict = {}
+        for i in range(head_layers):
+            bp, bs = convert_conformer_block_state(
+                sd, f"model.last_projects.{lg}.block."
+            )
+            hp[f"block_{i}"] = bp
+            hs[f"block_{i}"] = bs
+        w = sd[f"model.last_projects.{lg}.linear.weight"]  # (V_l+1, D)
+        b = sd[f"model.last_projects.{lg}.linear.bias"]
+        v_l, dim = w.shape[0] - 1, w.shape[1]
+        kernel = np.zeros((dim, vmax + 1), np.float32)
+        bias = np.zeros((vmax + 1,), np.float32)
+        kernel[:, :v_l] = w[:v_l].T
+        kernel[:, vmax] = w[v_l]
+        bias[:v_l] = b[:v_l]
+        bias[vmax] = b[v_l]
+        hp["Dense_0"] = {"kernel": kernel, "bias": bias}
+        head_params.append(hp)
+        head_stats.append(hs)
+
+    stack = lambda *leaves: np.stack([np.asarray(l) for l in leaves])  # noqa: E731
+    heads_p = jax.tree_util.tree_map(stack, *head_params)
+    heads_s = jax.tree_util.tree_map(stack, *head_stats)
+
+    disc = {
+        "Dense_0": {
+            "kernel": sd["lang_discriminator.linear.0.weight"].T,
+            "bias": sd["lang_discriminator.linear.0.bias"],
+        },
+        "Dense_1": {
+            "kernel": sd["lang_discriminator.linear.2.weight"].T,
+            "bias": sd["lang_discriminator.linear.2.bias"],
+        },
+    }
+    return {
+        "params": {
+            "featurizer": feat["params"],
+            "heads": {"heads": heads_p},
+            "discriminator": disc,
+        },
+        "batch_stats": {
+            "featurizer": feat["batch_stats"],
+            "heads": {"heads": heads_s},
+        },
+    }

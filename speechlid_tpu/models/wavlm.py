@@ -754,7 +754,7 @@ def convert_wavlm_state(
     :class:`WavLM`.  Replaces the fairseq checkpoint loader
     (lid/s3prl_updream inventory row, SURVEY.md §2.4)."""
 
-    sd = {k: np.asarray(v) for k, v in torch_state.items()}
+    sd = {k: np.array(v) for k, v in torch_state.items()}  # copy: torch .numpy() views
     p: Dict[str, Any] = {}
 
     def put(path: str, value: np.ndarray):
