@@ -7,3 +7,4 @@ from speechlid_tpu.core.optim.schedules import (
     tristage_schedule,
 )
 from speechlid_tpu.core.optim.factory import make_optimizer
+from speechlid_tpu.core.optim.routed import RoutedAdamState, routed_adam

@@ -27,17 +27,48 @@ def make_optimizer(
     schedule: Optional[str] = None,
     schedule_conf: Optional[Dict[str, Any]] = None,
     optim_conf: Optional[Dict[str, Any]] = None,
+    routed: bool = False,
 ) -> Tuple[optax.GradientTransformation, Optional[ReduceLROnPlateau]]:
     """Returns (tx, plateau_or_None).
 
     schedule: None | 'tristage' | 'cosine' | 'plateau'.  For 'plateau' the
     lr is exposed as an injectable hyperparam (host updates
     ``opt_state.hyperparams['learning_rate']`` after each eval epoch).
+
+    routed=True (adam only): routing-aware Adam
+    (core/optim/routed.routed_adam) whose moments and per-row step counts
+    freeze wherever the step's mask is 0 — exact torch grad=None-skip
+    semantics for hard-routed expert heads and freeze schedules.  The
+    trainer feeds the mask via ``tx.update(..., mask=…)``.
     """
     lr = float(lr)  # guard against YAML "2e-3"-style string floats
     schedule_conf = dict(schedule_conf or {})
     optim_conf = dict(optim_conf or {})
     plateau = None
+
+    if routed:
+        from speechlid_tpu.core.optim.routed import routed_adam
+
+        if name != "adam":
+            raise ValueError("routed mode currently supports adam only")
+        if weight_decay:
+            raise ValueError("routed adam does not take weight_decay")
+        if schedule == "plateau":
+            # plateau injects lr by mutating opt_state hyperparams — the
+            # routed transform keeps lr out of its state; fall back to the
+            # plain chain for that combination
+            raise ValueError("routed adam does not support plateau lr")
+        if schedule == "tristage":
+            lr_fn = tristage_schedule(lr=lr, **schedule_conf)
+        elif schedule == "cosine":
+            schedule_conf.setdefault("max_lr", lr)
+            lr_fn = cosine_annealing_warmup_restarts(**schedule_conf)
+        else:
+            lr_fn = lr
+        return (
+            routed_adam(lr_fn, clip_norm=clip_norm, **optim_conf),
+            None,
+        )
 
     if schedule == "tristage":
         lr_or_sched = tristage_schedule(lr=lr, **schedule_conf)

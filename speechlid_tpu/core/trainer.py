@@ -197,6 +197,16 @@ class Trainer:
                     )
             return out
 
+        # Routing-aware optimizer path: the module declares hard routing
+        # (per-batch expert masks with torch grad=None-skip semantics —
+        # core/optim/routed.routed_adam) by setting ``routed_optim=True``
+        # and providing ``route_mask(params, batch)``.  The route mask is
+        # TRACED (depends on the batch's language), unlike the host-built
+        # epoch freeze mask; both compose multiplicatively.
+        routed = bool(getattr(module, "routed_optim", False)) and callable(
+            getattr(module, "route_mask", None)
+        )
+
         def train_step(state: TrainState, batch, mask, freeze_sig=()):
             rng, step_rng = jax.random.split(state.rng)
             rngs = {
@@ -215,10 +225,26 @@ class Trainer:
             (loss, (metrics, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            if routed:
+                route = module.route_mask(state.params, batch)
+                mask = jax.tree_util.tree_map(
+                    lambda m, r: jnp.asarray(m, jnp.float32) * r, mask, route
+                )
             grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            if routed:
+                # routed_adam consumes the mask itself and freezes mu/nu/count
+                # where mask==0 — keep_frozen_opt_state would double-apply
+                # (and its params-treedef probe trips on the vector counts).
+                updates, new_opt = tx.update(
+                    grads, state.opt_state, state.params, mask=mask
+                )
+            else:
+                updates, new_opt = tx.update(
+                    grads, state.opt_state, state.params
+                )
             updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
-            new_opt = keep_frozen_opt_state(new_opt, state.opt_state, mask)
+            if not routed:
+                new_opt = keep_frozen_opt_state(new_opt, state.opt_state, mask)
             new_params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
             metrics["loss"] = loss

@@ -82,6 +82,12 @@ class LidASRTask(TaskModule):
         head_num_head: int = 8,
         double_swish: bool = False,
         dropout: float = 0.1,
+        # conformer-featurizer regularizers (reference defaults: pos-enc
+        # dropout 0.1, stochastic depth on with p=0.7 —
+        # lid/conformer.py:414,449)
+        pos_dropout: float = 0.1,
+        use_stochastic_depth: bool = True,
+        stochastic_depth_p: float = 0.7,
         use_cer: bool = True,
         # frontend
         sample_rate: int = 16000,
@@ -96,6 +102,12 @@ class LidASRTask(TaskModule):
         schedule: Optional[str] = "tristage",
         schedule_conf: Optional[Dict] = None,
         clip_norm: float = 20.0,
+        # routing-aware Adam (core/optim/routed.py): per-language head
+        # moments/step-counts freeze on batches that don't route to them —
+        # exact torch grad=None-skip semantics for the reference's
+        # ModuleDict heads (ConformerLangModel.py:275-280).  Off by default
+        # (plain optax adam; checkpoints keep the standard opt-state tree).
+        routed_optim: bool = False,
         # rematerialize encoder blocks in the backward pass (stable axon
         # config; ~30% activation-memory saving)
         remat: bool = False,
@@ -130,12 +142,15 @@ class LidASRTask(TaskModule):
             sub_sampling=sub_sampling, head_type=head_type,
             head_layers=head_layers, head_dim_head=head_dim_head,
             head_num_head=head_num_head, double_swish=double_swish,
-            dropout=dropout, use_cer=use_cer, sample_rate=sample_rate,
+            dropout=dropout, pos_dropout=pos_dropout,
+            use_stochastic_depth=use_stochastic_depth,
+            stochastic_depth_p=stochastic_depth_p,
+            use_cer=use_cer, sample_rate=sample_rate,
             n_mels=n_mels, t_mask_ratio=t_mask_ratio, f_mask=f_mask,
             mask_times=mask_times, t_stretch=t_stretch, lr=lr,
             optimizer=optimizer,
             schedule=schedule, schedule_conf=schedule_conf,
-            clip_norm=clip_norm,
+            clip_norm=clip_norm, routed_optim=routed_optim,
             freeze_featurizer_epoch=freeze_featurizer_epoch,
             freeze_transformer_epoch=freeze_transformer_epoch,
             keep_train_lang=keep_train_lang, dtype=dtype, remat=remat,
@@ -164,6 +179,7 @@ class LidASRTask(TaskModule):
         self.schedule = schedule
         self.schedule_conf = schedule_conf or {}
         self.clip_norm = clip_norm
+        self.routed_optim = routed_optim
         self.freeze_featurizer_epoch = freeze_featurizer_epoch
         self.freeze_transformer_epoch = freeze_transformer_epoch
         self.keep_train_lang = keep_train_lang
@@ -180,6 +196,9 @@ class LidASRTask(TaskModule):
                 heads=heads, dim_head=dim_head, sub_sampling=sub_sampling,
                 use_double_swish=double_swish, remat=remat,
                 scan_blocks=scan_blocks, dtype=self.dtype,
+                pos_dropout=pos_dropout,
+                use_stochastic_depth=use_stochastic_depth,
+                stochastic_depth_p=stochastic_depth_p,
                 quant_dot=quant_dot,
             )
         elif featurizer in ("wavlm", "wav2vec2"):
@@ -309,8 +328,30 @@ class LidASRTask(TaskModule):
         tx, plateau = make_optimizer(
             self.optimizer, lr=self.lr, clip_norm=self.clip_norm,
             schedule=self.schedule, schedule_conf=sched_conf,
+            routed=self.routed_optim,
         )
         return tx, plateau
+
+    def route_mask(self, params, batch):
+        """Per-batch hard-routing mask for ``routed_adam`` (traced).
+
+        Language-homogeneous batches route to exactly one head row: the
+        ``heads`` subtree gets a one-hot (L, 1, …) mask at the batch's
+        language, everything else (featurizer, discriminator) a scalar 1 —
+        mirroring which grads torch leaves non-None in the reference
+        (ConformerLangModel.py:275-280 runs only ``res[lang]``)."""
+        n_lang = len(self.vocab_sizes)
+        onehot = (
+            jnp.arange(n_lang) == batch["langs"][0]
+        ).astype(jnp.float32)
+
+        def leaf(path, p):
+            key0 = getattr(path[0], "key", str(path[0]))
+            if key0 == "heads":
+                return onehot.reshape((n_lang,) + (1,) * (p.ndim - 1))
+            return jnp.ones((), jnp.float32)
+
+        return jax.tree_util.tree_map_with_path(leaf, params)
 
     # ----------------------------------------------------------- device loops
     def _forward_ctc(self, variables, batch, rngs, deterministic):
@@ -328,14 +369,44 @@ class LidASRTask(TaskModule):
                 variables, feats, f_len, deterministic=False,
                 rngs=rngs, mutable=["batch_stats"],
             )
+            # Per-language BN semantics (reference parity): the reference
+            # runs ONLY the batch's own head in training
+            # (ConformerLangModel.py:275-280 `res[lang] = …`), so the other
+            # heads' BatchNorm running stats never see this batch.  Our
+            # vmap computes every head in one graph — keep the numerics but
+            # commit only the own-language slice of the heads' stats
+            # (leading axis = language).
+            mut = dict(mut)
+            new_stats = dict(mut.get("batch_stats", {}))
+            if "heads" in new_stats and "langs" in batch:
+                lang = batch["langs"][0]  # language-homogeneous batches
+                old_heads = variables["batch_stats"]["heads"]
+                n_lang = len(self.vocab_sizes)
+                sel = (jnp.arange(n_lang) == lang)
+
+                def commit_own(new, old):
+                    keep = sel.reshape((n_lang,) + (1,) * (new.ndim - 1))
+                    return jnp.where(keep, new, old)
+
+                new_stats["heads"] = jax.tree_util.tree_map(
+                    commit_own, new_stats["heads"], old_heads
+                )
+                mut["batch_stats"] = new_stats
         # each utterance's own language head: (L, B, T, V) → (B, T, V)
         own = jnp.take_along_axis(
             logits, batch["langs"][None, :, None, None], axis=0
         )[0]
         lp = jax.nn.log_softmax(own, axis=-1)
+        # reference loss semantics: CTCLoss(reduction='none') then a plain
+        # batch mean of the UNNORMALIZED per-sample NLLs
+        # (LidModule_ASR.py:185-191, LidModule_ASR_Supervised.py:160-167) —
+        # NOT torch's default label-length-normalized 'mean'.  The scale
+        # difference (×mean label length) changes the effective lr, so this
+        # is a training-fidelity requirement, not cosmetics.
         loss = ctc_loss(
-            lp, batch["texts"], feat_lens, batch["text_lengths"], blank=-1
-        )
+            lp, batch["texts"], feat_lens, batch["text_lengths"], blank=-1,
+            reduction="none",
+        ).mean()
         return loss, logits, lp, feat_lens, mut
 
     def train_loop(self, variables, batch, rngs):
