@@ -389,14 +389,15 @@ def calibration_gemm(device, dtype_name: str, n: int = 4096, chain: int = 64):
     return chain * 2.0 * n**3 / dt_s / 1e12
 
 
-def frontend_rtf_and_latency(device):
-    """Frontend RTF (batched, production Pallas path on TPU) and p50
-    single-utterance end-to-end WavLM LID latency."""
+def frontend_rtf(device):
+    """Frontend RTF (batched, production Pallas path on TPU).
+
+    Its own stage (round-3 lesson: pairing it with the b1 flagship p50
+    graph in one child meant a p50 compile overrun lost the ALREADY
+    MEASURED RTF — BENCH_r03 recorded null after burning 154.9 s)."""
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_wavlm
-    from speechlid_tpu.models.multilang import MutiLangModel
     from speechlid_tpu.ops.frontend import fused_frontend, resolve_method
 
     rng = np.random.RandomState(0)
@@ -409,11 +410,20 @@ def frontend_rtf_and_latency(device):
 
         sps = _throughput(fe, make_input, 32, 20)  # utt/s
         rtf = 1.0 / (sps * 3.0)
+    return round(float(rtf), 8), resolve_method("auto")
 
-        model = _flagship_wavlm(n_lang=3)
-        l1 = jnp.asarray([48000], jnp.int32)
-        key = jax.random.PRNGKey(0)
-        w1 = jnp.asarray(rng.randn(1, 48000).astype(np.float32) * 0.1)
+
+def p50_latency(device):
+    """p50 single-utterance end-to-end WavLM LID latency (b1 graph)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_wavlm
+    from speechlid_tpu.models.multilang import MutiLangModel
+
+    rng = np.random.RandomState(0)
+    model = _flagship_wavlm(n_lang=3)
+    key = jax.random.PRNGKey(0)
     cpu = _device("cpu")
     with jax.default_device(cpu):  # cheap CPU init (see bench_model)
         variables = model.init(
@@ -423,6 +433,8 @@ def frontend_rtf_and_latency(device):
             method=MutiLangModel.infer,
         )
     with jax.default_device(device):
+        l1 = jnp.asarray([48000], jnp.int32)
+        w1 = jnp.asarray(rng.randn(1, 48000).astype(np.float32) * 0.1)
         variables = jax.device_put(variables, device)
 
         @jax.jit
@@ -440,7 +452,112 @@ def frontend_rtf_and_latency(device):
             _sync(infer_one(variables, w))  # host fetch = true latency
             lat.append(time.perf_counter() - t0)
         p50 = float(np.median(lat) * 1e3)
-    return round(float(rtf), 8), round(p50, 3), resolve_method("auto")
+    return round(p50, 3)
+
+
+def bench_train_step(device, dtype_name: str = "bf16", batch: int = 64,
+                     iters: int = 8):
+    """Flagship TRAINING-step throughput: WavLM-Base+ joint LID fine-tune
+    step (fwd + bwd + Adam update, donated state) — the reference's hot
+    loop (ccml/trainer.py:497-573) at flagship scale.  bf16 b64 is the
+    measured-best config (docs/runs/TRAIN_CHIP_2026-08-18.md).
+
+    MFU uses 3x forward matmul FLOPs (fwd + 2x-cost bwd) against the
+    dtype's assumed peak."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_wavlm
+    from speechlid_tpu.ops.ctc import ctc_loss
+
+    T, S = 48000, 24
+    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model = _flagship_wavlm(n_lang=3, dtype=dt)
+    rng = np.random.RandomState(0)
+    cpu = _device("cpu")
+    tx = optax.adam(1e-4)
+    with jax.default_device(cpu):  # shape-independent init off-device
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((2, 4000), jnp.float32) + 1e-3,
+            jnp.full((2,), 4000, jnp.int32),
+            deterministic=False,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = jax.jit(tx.init, backend="cpu")(params)
+
+    params = jax.device_put(params, device)
+    batch_stats = jax.device_put(batch_stats, device)
+    opt_state = jax.device_put(opt_state, device)
+    with jax.default_device(device):
+        lengths = jnp.full((batch,), T, jnp.int32)
+        text_lengths = jnp.full((batch,), S, jnp.int32)
+
+        def loss_fn(params, batch_stats, wavs, texts, langs, key):
+            (logits, feat_lens), mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                wavs, lengths, deterministic=False,
+                rngs={"dropout": key}, mutable=["batch_stats"],
+            )
+            own = jnp.take_along_axis(
+                logits, langs[None, :, None, None], axis=0)[0]
+            lp = jax.nn.log_softmax(own.astype(jnp.float32), axis=-1)
+            loss = ctc_loss(lp, texts, feat_lens, text_lengths, blank=-1)
+            return loss, mut["batch_stats"]
+
+        def train_step(params, opt_state, batch_stats, wavs, texts, langs,
+                       key):
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, wavs, texts, langs, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_bs, loss
+
+        step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+        def make_batch(i):
+            r = np.random.RandomState(i)
+            return (
+                jnp.asarray(r.randn(batch, T).astype(np.float32) * 0.1),
+                jnp.asarray(r.randint(0, 39, (batch, S)).astype(np.int32)),
+                jnp.asarray(r.randint(0, 3, (batch,)).astype(np.int32)),
+            )
+
+        key = jax.random.PRNGKey(42)
+        wavs, texts, langs = make_batch(0)
+        params, opt_state, batch_stats, loss = step(
+            params, opt_state, batch_stats, wavs, texts, langs, key)
+        l0 = float(loss)  # host fetch = sync (compile + first step)
+        print(json.dumps({"train_first_loss": round(l0, 3)}), flush=True)
+
+        batches = [make_batch(i + 1) for i in range(iters)]
+        _sync(batches[-1])
+        t0 = time.perf_counter()
+        for wavs, texts, langs in batches:
+            params, opt_state, batch_stats, loss = step(
+                params, opt_state, batch_stats, wavs, texts, langs, key)
+        l_last = float(loss)  # host fetch closes the timed window
+        dt_s = (time.perf_counter() - t0) / iters
+    utt_s = batch / dt_s
+    peak_key = "bf16" if dtype_name == "bf16" else "f32"
+    mfu = (3.0 * wavlm_flagship_flops_per_utt() * utt_s
+           / (V5E_PEAK_TFLOPS[peak_key] * 1e12))
+    return {
+        "train_utt_s": round(utt_s, 1),
+        "train_mfu": round(mfu, 4),
+        # round-3 docs quoted train MFU against the f32 99 TF peak (53 %
+        # at 320 utt/s); this field counts against the config's own dtype
+        # peak, so bf16 reads lower for the same utt/s — same measurement
+        "train_mfu_basis": f"3x fwd FLOPs vs {peak_key} "
+                           f"{V5E_PEAK_TFLOPS[peak_key]:.0f} TF assumed",
+        "train_step_ms": round(dt_s * 1e3, 1),
+        "train_config": f"wavlm {dtype_name} b{batch} fwd+bwd+adam donated",
+        "train_last_loss": round(l_last, 3),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -510,8 +627,16 @@ def run_stage(stage: str) -> dict:
         dtype_name = stage.split("_")[1]
         return {"tflops": round(calibration_gemm(_accel(), dtype_name), 1)}
     if stage == "frontend":
-        rtf, p50, kind = frontend_rtf_and_latency(_accel())
-        return {"rtf": rtf, "p50": p50, "frontend": kind}
+        rtf, kind = frontend_rtf(_accel())
+        return {"rtf": rtf, "frontend": kind}
+    if stage == "p50":
+        return {"p50": p50_latency(_accel())}
+    if stage == "train" or stage.startswith("train_"):
+        # train[_<dtype>][_b<batch>], default bf16 b64 (measured best)
+        rest = stage.split("_", 1)[1] if "_" in stage else "bf16_b64"
+        dtype_name, _, bs = rest.partition("_b")
+        return bench_train_step(
+            _accel(), dtype_name or "bf16", int(bs or 64))
     raise SystemExit(f"unknown stage {stage}")
 
 
@@ -613,6 +738,8 @@ def _emit():
                 best = p
     cpu_utt_s = (results.get("cpu_ref") or {}).get("cpu_utt_s")
     fe = results.get("frontend") or {}
+    p50_res = results.get("p50") or {}
+    train = results.get("train") or {}
     conf = results.get("conformer") or {}
     if best is not None:
         metric = ("3s-clip LID utterances/sec/chip "
@@ -648,7 +775,11 @@ def _emit():
         "conformer_utt_s": conf.get("conformer_utt_s"),
         "feature_extraction_rtf": fe.get("rtf"),
         "frontend": fe.get("frontend"),
-        "p50_latency_ms_single_utt": fe.get("p50"),
+        "p50_latency_ms_single_utt": p50_res.get("p50"),
+        "train_utt_s": train.get("train_utt_s"),
+        "train_mfu": train.get("train_mfu"),
+        "train_mfu_basis": train.get("train_mfu_basis"),
+        "train_config": train.get("train_config"),
         "errors": {
             k: v["error"] for k, v in results.items()
             if isinstance(v, dict) and "error" in v
@@ -678,31 +809,42 @@ def main() -> None:
 
     # (stage, per-stage cap seconds, needs accelerator) — value-determining
     # stages first so the headline lands even under a tight driver deadline
+    # Caps are sized so every NAMED metric (headline, rtf, p50, conformer,
+    # ≥1 calibration, train) fits the 500 s budget on a warm compile cache
+    # (the realistic driver condition: the runtime cache at
+    # ~/.cache/speechlid_tpu persists across runs in one container).  On a
+    # truly cold cache the cumulative per-measurement JSON each child
+    # prints still lands whatever finished before its cap (round-3 lesson:
+    # one 450 s sweep cap + an all-or-nothing frontend child starved 5
+    # named fields — BENCH_r03.json).
     stages = [
-        ("cpu_ref", 300.0, False),  # vs_baseline denominator; chip-free,
+        ("cpu_ref", 240.0, False),  # vs_baseline denominator; chip-free,
         #                             also absorbs a recovering worker's lag
         # batch sweeps run ALL points in one child: the 376 MB param
         # transfer + startup amortize, and cumulative partial JSON means
-        # even a timeout records the points measured so far
-        ("wavlm_f32_sweep", 450.0, True),  # HEADLINE — first on device
-        # frontend before the bf16 sweep: rtf + p50 are named
-        # BASELINE.json metrics, the bf16 sweep is supporting data
-        ("frontend", 240.0, True),
+        # even a timeout records the points measured so far (b128 — the
+        # measured knee — goes first inside the sweep)
+        ("wavlm_f32_sweep", 200.0, True),  # HEADLINE — first on device
+        ("frontend", 80.0, True),  # named metric: feature_extraction_rtf
+        ("p50", 120.0, True),  # named metric: p50 (own stage, r3 lesson)
+        ("conformer", 120.0, True),  # named metric: conformer_utt_s
+        ("calib_f32", 80.0, True),  # ≥1 calibration entry
+        # flagship TRAINING step (fwd+bwd+adam donated, bf16 b64 — the
+        # measured-best config): the reference's hot loop, driver-visible
+        ("train", 200.0, True),
         # FULL bf16 (encoder + heads): the round-2 hang was fixed by the
         # conv_barrier/Pallas depthwise work and confirmed on chip
         # 2026-08-18 (1117 utt/s b128) — it supersedes the bf16-mixed
         # workaround as the default bf16 stage
-        ("wavlm_bf16_sweep", 450.0, True),
-        ("conformer", 420.0, True),
-        ("calib_f32", 150.0, True),
-        ("calib_bf16", 150.0, True),
-        ("calib_int8", 150.0, True),
+        ("wavlm_bf16_sweep", 200.0, True),
+        ("calib_bf16", 80.0, True),
+        ("calib_int8", 80.0, True),
         # dynamic-int8 serving path LAST: measured SLOWER than f32 on this
         # worker (915 vs 1118 utt/s — the 1.35x int8 GEMM ceiling doesn't
         # cover the per-dot dynamic-quantize VPU work; CHIP_FINDINGS_r3.md),
         # so it's supporting data, never the headline (_emit reports it as
         # int8_best_utt_s + its own sweep)
-        ("wavlm_int8_sweep", 450.0, True),
+        ("wavlm_int8_sweep", 200.0, True),
     ]
     if os.environ.get("SPEECHLID_BENCH_BF16_MIXED"):
         # the bf16-encoder/f32-head config that worked around the (now
