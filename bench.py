@@ -253,8 +253,11 @@ def _wavlm_builder(dtype_name: str):
     from __graft_entry__ import _flagship_wavlm
 
     # scan-over-layers flagship variant: identical numerics, O(1)-in-depth
-    # compiles (models/wavlm.py scan_layers) — opt-in for A/B on the chip
+    # compiles (models/wavlm.py scan_layers) — opt-in for A/B on the chip;
+    # SPEECHLID_BENCH_SCAN_UNROLL probes the fusion/compile-size middle
+    # ground (docs/runs/scan_ab_probe.py findings)
     scan = bool(os.environ.get("SPEECHLID_BENCH_SCAN"))
+    scan_unroll = int(os.environ.get("SPEECHLID_BENCH_SCAN_UNROLL", "1"))
     # conv-extractor lowering A/B: framed-matmul vs lax conv (exact-parity
     # tests/test_quant.py); unset → 'conv' for exact dtypes, 'matmul' for
     # int8 (the framed GEMM is what rides the int8 MXU path)
@@ -264,19 +267,22 @@ def _wavlm_builder(dtype_name: str):
         # (bf16 Conformer-head fusions hang — docs/runs/CHIP_FINDINGS_r2.md)
         model = _flagship_wavlm(
             n_lang=3, dtype=jnp.bfloat16, head_dtype=jnp.float32,
-            scan_layers=scan, conv_impl=conv_impl,
+            scan_layers=scan, scan_unroll=scan_unroll,
+            conv_impl=conv_impl,
         )
     elif dtype_name == "int8":
         # dynamic W8A8 serving path: int8 dense projections (MXU 2× rate),
         # bf16 elementwise/conv, f32 norm/softmax islands (ops/quant.py).
         # Approximate numerics — reported SEPARATELY from the headline.
         model = _flagship_wavlm(
-            n_lang=3, dtype=jnp.bfloat16, scan_layers=scan, quant_dot="int8",
+            n_lang=3, dtype=jnp.bfloat16, scan_layers=scan,
+            scan_unroll=scan_unroll, quant_dot="int8",
             conv_impl=conv_impl or "matmul",
         )
     else:
         dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
         model = _flagship_wavlm(n_lang=3, dtype=dt, scan_layers=scan,
+                                scan_unroll=scan_unroll,
                                 conv_impl=conv_impl)
     return model, wavlm_flagship_flops_per_utt()
 

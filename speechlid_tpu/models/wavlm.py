@@ -529,6 +529,12 @@ class WavLM(nn.Module):
     # Param layout differs (layers_rest stacked); convert unrolled weights
     # with :func:`stack_scan_layers`.  Numerics identical (tests).
     scan_layers: bool = False
+    # lax.scan unroll factor for the scanned layers: >1 puts `unroll`
+    # copies of the body in each loop iteration, restoring the cross-layer
+    # fusion XLA cannot do across scan iterations, while keeping
+    # compile/HLO size ~unroll/(N-1) of the fully unrolled build — the
+    # middle ground probed for the round-3 "scan runtime 3x" finding
+    scan_unroll: int = 1
 
     def feat_lengths(self, sample_lengths: jax.Array) -> jax.Array:
         return conv_out_lengths(sample_lengths, self.config.conv_layers)
@@ -648,6 +654,7 @@ class WavLM(nn.Module):
                             "layerdrop": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.encoder_layers - 1,
+                unroll=min(self.scan_unroll, cfg.encoder_layers - 1),
             )(cfg, name="layers_rest")
             x, ys = scanned(x, attn_mask, position_bias, deterministic)
             if ret_layer_results:
@@ -694,6 +701,7 @@ class WavLMModel(nn.Module):
     config: WavLMConfig
     remat: bool = False
     scan_layers: bool = False
+    scan_unroll: int = 1
 
     def subsampled_lengths(self, lengths: jax.Array) -> jax.Array:
         return conv_out_lengths(lengths, self.config.conv_layers)
@@ -707,7 +715,8 @@ class WavLMModel(nn.Module):
         deterministic: bool = True,
     ):
         out = WavLM(self.config, remat=self.remat,
-                    scan_layers=self.scan_layers, name="wavlm")(
+                    scan_layers=self.scan_layers,
+                    scan_unroll=self.scan_unroll, name="wavlm")(
             x, lengths,
             mask=not deterministic,
             ret_layer_results=not only_last,

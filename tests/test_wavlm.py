@@ -204,6 +204,28 @@ class TestScanLayers:
         assert y0.shape == y1.shape == (5, 2, 319, 64)
         np.testing.assert_allclose(y1, y0, rtol=2e-5, atol=2e-5)
 
+    def test_parity_unrolled_scan_body(self):
+        """scan_unroll>1 (k body copies per loop iteration — the fusion /
+        compile-size middle ground for the round-3 scan runtime gap) is
+        numerics-identical, including a non-divisible unroll (3 scanned
+        layers, unroll 2)."""
+        from speechlid_tpu.models.wavlm import (WavLMConfig, WavLMModel,
+                                                stack_scan_layers)
+
+        cfg = WavLMConfig.from_dict(dict(self.CFG))
+        m0 = WavLMModel(cfg)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 6400) * 0.1, jnp.float32)
+        lens = jnp.asarray([6400, 4800])
+        v0 = m0.init({"params": jax.random.PRNGKey(0)}, x, lens)
+        y0 = np.asarray(m0.apply(v0, x, lens, only_last=False))
+        p1 = {"wavlm": stack_scan_layers(v0["params"]["wavlm"])}
+        for unroll in (2, 3, 11):  # 11 > N-1 clamps to full unroll
+            m1 = WavLMModel(cfg, scan_layers=True, scan_unroll=unroll)
+            y1 = np.asarray(
+                m1.apply({"params": p1}, x, lens, only_last=False))
+            np.testing.assert_allclose(y1, y0, rtol=2e-5, atol=2e-5)
+
     def test_train_mode_grads_all_layers(self):
         """Masking + dropout rngs + grads through the scanned stack."""
         _, m1 = self._models()
