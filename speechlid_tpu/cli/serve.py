@@ -20,6 +20,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import logging
 import threading
@@ -117,30 +118,37 @@ class InferenceState:
                 return t
         return int(BUCKETS_S[-1] * self.sample_rate)
 
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _guard_noise(t: int) -> np.ndarray:
+        """Per-bucket anti-degenerate dither (cached: it was already a
+        fixed rng(0) draw per request, so caching is behavior-identical
+        and drops ~t host normals off every request)."""
+        return (1e-6 * np.random.default_rng(0)
+                .standard_normal((1, t))).astype(np.float32)
+
     def lid(self, wav: np.ndarray) -> Dict:
         t = self._bucket(len(wav))
         padded = np.zeros((1, t), np.float32)
         padded[0, : min(len(wav), t)] = wav[:t]
         # anti-degenerate guard: constant/silent audio faults the axon TPU
         # kernel; -120 dB dither is inaudible and keeps stats well-defined
-        padded += (1e-6 * np.random.default_rng(0).standard_normal(
-            padded.shape)).astype(np.float32)
+        padded += self._guard_noise(t)
 
         def job():
             import jax.numpy as jnp
 
-            out = self.lid_fn(
+            scores = self.lid_fn(
                 jnp.asarray(padded), jnp.asarray([min(len(wav), t)])
             )
-            return (
-                np.asarray(out["scores"], np.float32),
-                np.asarray(out["pred_lang"]),
-            )
+            # ONE host fetch of the (1, L) scores; pred is argmax(scores)
+            # by definition (models/multilang.py infer), computed host-side
+            return np.asarray(scores, np.float32)
 
         with self.lock:
-            scores_all, pred_all = self._device.call(job)
+            scores_all = self._device.call(job)
         scores = scores_all[0]
-        pred = int(pred_all[0])
+        pred = int(np.argmax(scores))
         return {
             "lang": self.index2lang.get(pred, str(pred)),
             "scores": {
@@ -268,7 +276,15 @@ def build_lid_fn(args):
     )
     restored = dict(variables)
     restored["params"] = params
-    infer = jax.jit(task.infer_fn())
+    # serve-path graph returns ONLY the (B, L) score matrix: pred_lang is
+    # argmax(scores) (models/multilang.py infer), so it is recomputed on
+    # the host from the one fetched array.  On the remote-execution TPU
+    # path every graph output and every host fetch is a tunnel round-trip
+    # (~25 ms each); the full infer dict (incl. the (L, B, T, V) logits)
+    # as graph outputs + two fetches was most of the 3x serve-vs-raw p50
+    # gap (docs/runs/SERVE_CHIP_2026-08-18.md).
+    base_infer = task.infer_fn()
+    infer = jax.jit(lambda v, w, l: base_infer(v, w, l)["scores"])
     index2lang = task.index2lang
     return (lambda w, l: infer(restored, w, l)), index2lang
 

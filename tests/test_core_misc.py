@@ -218,10 +218,11 @@ class TestServeHandlers:
         from speechlid_tpu.cli.serve import InferenceState, make_handler
 
         def fake_lid(w, l):
+            # serve-path contract: lid_fn returns ONLY the (B, L) score
+            # matrix (cli/serve.py build_lid_fn); pred is host argmax
             import jax.numpy as jnp
 
-            return {"scores": jnp.asarray([[0.5, 0.2]]),
-                    "pred_lang": jnp.asarray([0])}
+            return jnp.asarray([[0.5, 0.2]])
 
         def fake_se(w):
             return w * 0.5
