@@ -1,0 +1,141 @@
+"""Synthetic tone-code LID corpus: separable, CTC-learnable, eval-honest.
+
+Design (round-4, replacing train_chip_demo's harmonic-hum corpus whose
+audio did not encode the transcript, so CTC could only memorize and eval
+accuracy pinned near chance — docs/runs/CHIP_FINDINGS_r3.md):
+
+- audio ENCODES the transcript: each char is a ~0.14 s tone segment from a
+  global 12-tone ladder (600 Hz, quarter-octave steps), so the per-language
+  CTC heads have a genuinely learnable acoustics->text mapping;
+- OVERLAPPING tone alphabets: each of 3 languages uses 8 of the 12 tones
+  (cyclic stride 4), so a WRONG-language head can still transcribe roughly
+  half the frames of any utterance.  This matters because the reference's
+  confidence score (WavLMMutiLangModel.py:410-427, rebuilt in
+  models/multilang.lang_confidence_scores) maps an all-blank head to score
+  0, which the eval pipeline's -1/(s-1e-9) normalization turns into +1e9 —
+  an all-blank head would dominate argmax.  Disjoint alphabets therefore
+  make eval accuracy WORSE the better the model gets; overlap keeps the
+  score semantics in their intended regime;
+- language-specific TIMBRE (harmonic amplitude profile) over the shared
+  ladder: the own-language head sees on-manifold features and wins on
+  confidence;
+- held-out val utterances from the same generator with a different seed
+  (written under wav/train/ because the XF manifest layout hardcodes that
+  subdir — reference raw_datasets.py:111-112).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+SR = 16000
+TONES = [600.0 * (2.0 ** (k / 4.0)) for k in range(12)]
+LANG_CHARS = {  # 8 chars each; tone index = (start + j) % 12
+    "aa": ("abcdefgh", 0),
+    "bb": ("ijklmnop", 4),
+    "cc": ("qrstuvwx", 8),
+}
+LANG_TIMBRE = {  # (fundamental, 2nd, 3rd) harmonic amplitudes
+    "aa": (1.0, 0.05, 0.02),
+    "bb": (0.4, 1.0, 0.1),
+    "cc": (0.3, 0.1, 1.0),
+}
+SEG = 0.14  # seconds per char
+
+
+def synth_utterance(lang: str, text: str, rng) -> np.ndarray:
+    chars, start = LANG_CHARS[lang]
+    h1, h2, h3 = LANG_TIMBRE[lang]
+    segs = []
+    for ch in text:
+        n = int(SR * SEG * (0.9 + 0.2 * rng.rand()))
+        t = np.arange(n) / SR
+        if ch == " ":
+            segs.append(0.005 * rng.randn(n))
+            continue
+        f = TONES[(start + chars.index(ch)) % 12] * (1 + 0.01 * rng.randn())
+        ph = rng.rand() * 6.28
+        w = (h1 * np.sin(2 * np.pi * f * t + ph)
+             + h2 * np.sin(2 * np.pi * 2 * f * t + ph)
+             + h3 * np.sin(2 * np.pi * 3 * f * t + ph))
+        env = np.minimum(1.0, np.minimum(t, t[::-1] + 1e-9) / 0.02)
+        segs.append(w * env)
+    wav = np.concatenate(segs)
+    am = 0.75 + 0.25 * np.sin(2 * np.pi * (1.5 + rng.rand())
+                              * np.arange(len(wav)) / SR)
+    wav = wav * am + 0.01 * rng.randn(len(wav))
+    return (0.2 * wav / np.max(np.abs(wav))).astype(np.float32)
+
+
+def make_text(lang: str, rng) -> str:
+    chars, _ = LANG_CHARS[lang]
+    words = []
+    for _ in range(rng.randint(2, 4)):
+        words.append("".join(rng.choice(list(chars),
+                                        size=rng.randint(2, 5))))
+    return " ".join(words)
+
+
+def make_corpus(root: str, n_train: int = 64, n_val: int = 24):
+    """Write per-language train.txt / val.txt manifests + wavs.
+    All audio under wav/train/ (XF layout, split hardcoded upstream)."""
+    from speechlid_tpu.data.audio_io import write_wav
+
+    for li, lang in enumerate(sorted(LANG_CHARS)):
+        wav_dir = os.path.join(root, lang, "wav", "train")
+        os.makedirs(wav_dir, exist_ok=True)
+        for split, n, seed in (("train", n_train, 100 + li),
+                               ("val", n_val, 200 + li)):
+            rng = np.random.RandomState(seed)
+            lines = []
+            for i in range(n):
+                text = make_text(lang, rng)
+                wav = synth_utterance(lang, text, rng)
+                name = f"{split}{i}.wav"
+                write_wav(os.path.join(wav_dir, name), wav, SR)
+                lines.append(f"{name}\t{text}")
+            with open(os.path.join(root, lang, f"{split}.txt"), "w") as f:
+                f.write("\n".join(lines))
+
+
+def write_noises(noise_dir: str) -> None:
+    """NOISEX-92 stand-ins: white, babble (many-voice hum), factory1."""
+    from speechlid_tpu.data.audio_io import write_wav
+
+    rng = np.random.RandomState(7)
+    t = np.arange(SR * 4) / SR
+    white = rng.randn(len(t)) * 0.3
+    babble = sum(
+        np.sin(2 * np.pi * f * t + rng.rand() * 6.28)
+        * (0.5 + 0.5 * np.sin(2 * np.pi * r * t))
+        for f, r in [(170, 2.3), (220, 3.1), (310, 1.7), (450, 2.9)]
+    ) * 0.15 + 0.05 * rng.randn(len(t))
+    factory = (0.4 * np.sin(2 * np.pi * 50 * t)
+               + 0.25 * np.sin(2 * np.pi * 120 * t)
+               + 0.2 * rng.randn(len(t)))
+    os.makedirs(noise_dir, exist_ok=True)
+    for name, wav in [("white", white), ("babble", babble),
+                      ("factory1", factory)]:
+        write_wav(os.path.join(noise_dir, f"{name}.wav"),
+                  wav.astype(np.float32), SR)
+
+
+def write_lms(lm_dir: str) -> None:
+    """Per-language word-unigram ARPA over each language's generator word
+    distribution (sampled), so perplexity arbitration discriminates."""
+    os.makedirs(lm_dir, exist_ok=True)
+    for li, lang in enumerate(sorted(LANG_CHARS)):
+        rng = np.random.RandomState(300 + li)
+        words = sorted({w for _ in range(400)
+                        for w in make_text(lang, rng).split()})
+        logp = math.log10(1.0 / (len(words) + 1))
+        lines = ["\\data\\", f"ngram 1={len(words) + 3}", "",
+                 "\\1-grams:", "-3.00\t<unk>", f"{logp:.4f}\t<s>",
+                 f"{logp:.4f}\t</s>"]
+        lines += [f"{logp:.4f}\t{w}" for w in words]
+        lines += ["", "\\end\\", ""]
+        with open(os.path.join(lm_dir, f"{lang}.arpa"), "w") as f:
+            f.write("\n".join(lines))

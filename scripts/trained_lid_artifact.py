@@ -1,0 +1,228 @@
+"""Trained-LID artifact: prove the framework LEARNS the task on hardware.
+
+Round-3's EVAL_CHIP artifact validated the L6 eval plumbing but its model
+sat near chance (acc 0.406 / 3 classes) — two causes, both fixed here:
+the corpus' audio did not encode the transcripts (CTC could only
+memorize), and the conformer's reference-default stochastic depth p=0.7
+crushes a 4-block model on a micro corpus.  This driver:
+
+1. generates the tone-code corpus (scripts/synth_corpus.py: transcript-
+   encoding audio, overlapping tone alphabets, per-language timbre) with a
+   HELD-OUT val split;
+2. trains the supervised joint LID+ASR through the real CLI
+   (speechlid_tpu.cli.main_lid) to clean val acc >= 0.9 (the reference's
+   north-star shape: lid/test.py:375 reports 0.9166 on real data);
+3. runs the SNR x noise grid + LM arbitration through the real offline
+   eval CLI (speechlid_tpu.cli.test_lid) — acc/EER must DEGRADE as SNR
+   drops and arbitration must fire on a minority of utterances;
+4. writes docs/runs/TRAINED_LID_r4.md with the numbers.
+
+Run:
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/trained_lid_artifact.py [reuse_root]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eval_chip_validate import run_phase  # noqa: E402  (subprocess + retry)
+from synth_corpus import (  # noqa: E402
+    SR, make_corpus, write_lms, write_noises)
+
+EPOCHS = 64
+
+
+def write_config(conf_dir: str, corpus_root: str) -> str:
+    os.makedirs(conf_dir, exist_ok=True)
+    langs = "\n".join(
+        f"    - manifest: {corpus_root}/{lang}/train.txt\n"
+        f"      val_manifest: {corpus_root}/{lang}/val.txt"
+        for lang in sorted(os.listdir(corpus_root))
+        if os.path.exists(os.path.join(corpus_root, lang, "train.txt"))
+    )
+    path = os.path.join(conf_dir, "trained_lid.yaml")
+    with open(path, "w") as f:
+        f.write(f"""model_name: trained_lid
+experiment_name: trained_lid_r4
+stage: train
+trainer:
+  total_epoch: {EPOCHS}
+  progress_bar: false
+  save_topk: 1
+  eval_interval: 4
+module:
+  task: lid_asr
+  n_blocks: 4
+  encoder_dim: 96
+  heads: 4
+  dim_head: 24
+  sub_sampling: 4
+  head_dim_head: 16
+  head_num_head: 4
+  mask_times: 1
+  dropout: 0.05
+  pos_dropout: 0.0
+  use_stochastic_depth: false
+  remat: true
+  lr: 2.0e-3
+  schedule: null
+data:
+  source: xf
+  sample_rate: {SR}
+  batch_size: 8
+  max_duration: 3.0
+  max_duration_eval: 3.0
+  max_text_len: 16
+  buckets_s: [3.0]
+  langs:
+{langs}
+""")
+    return path
+
+
+def main() -> None:
+    date = datetime.date.today().isoformat()
+    reuse = sys.argv[1] if len(sys.argv) > 1 else None
+    root = reuse or tempfile.mkdtemp(prefix="trained_lid_")
+    conf_dir = os.path.join(root, "conf")
+    noise_dir = os.path.join(root, "noise")
+    lm_dir = os.path.join(root, "lms")
+    exp_dir = os.path.join(root, "exp")
+    out_dir = os.path.join(root, "out")
+    os.makedirs(out_dir, exist_ok=True)
+    print(f"root: {root}", flush=True)
+
+    report = {"phases": {}}
+    ckpt = os.path.join(exp_dir, "ckpt", "last.ckpt")
+    if reuse and os.path.exists(ckpt):
+        report["phases"]["train"] = {"rc": 0, "wall_s": 0.0, "reused": root}
+    else:
+        make_corpus(root, n_train=96, n_val=24)
+        write_config(conf_dir, root)
+        write_noises(noise_dir)
+        write_lms(lm_dir)
+        rc, wall, _ = run_phase(
+            ["speechlid_tpu.cli.main_lid", "--config-dir", conf_dir,
+             "--config-name", "trained_lid", f"exp_dir={exp_dir}"],
+            os.path.join(out_dir, "train.log"), timeout=3600,
+        )
+        report["phases"]["train"] = {"rc": rc, "wall_s": round(wall, 1)}
+        if rc != 0 or not os.path.exists(ckpt):
+            print(json.dumps(report), flush=True)
+            raise SystemExit(
+                f"training failed rc={rc}; see {out_dir}/train.log")
+    metrics = []
+    mpath = os.path.join(exp_dir, "metrics.jsonl")
+    if os.path.exists(mpath):
+        metrics = [json.loads(l) for l in open(mpath)]
+
+    base = ["speechlid_tpu.cli.test_lid", "--ckpt", ckpt,
+            "--config-dir", conf_dir, "--config-name", "trained_lid",
+            "--noise-dir", noise_dir, "--lm-dir", lm_dir,
+            "--kenlm-threshold", "0.15"]
+
+    # clean + a per-noise SNR ladder (monotonicity evidence)
+    cells = [(None, None)] + [
+        (snr, noise)
+        for noise in ("white", "babble", "factory1")
+        for snr in (15.0, 10.0, 5.0, 0.0, -5.0)
+    ]
+    rows, failed, retried = [], 0, 0
+    t_sweep = time.perf_counter()
+    for ci, (snr, noise) in enumerate(cells):
+        cmd = list(base)
+        if snr is not None:
+            cmd += ["--snr", str(snr), "--noise", noise]
+        log = os.path.join(out_dir, f"cell_{ci}.log")
+        rc, wall, retries = run_phase(cmd, log, timeout=900, retries=1)
+        retried += retries
+        if rc != 0:
+            failed += 1
+            continue
+        for line in reversed(open(log).read().splitlines()):
+            if line.startswith("{"):
+                rows.append({"snr": snr, "noise": noise or "clean",
+                             **json.loads(line)})
+                break
+        else:
+            failed += 1
+    report["phases"]["sweep"] = {
+        "rc": 0 if failed == 0 else 1,
+        "wall_s": round(time.perf_counter() - t_sweep, 1),
+        "retries": retried, "cells_failed": failed,
+    }
+
+    # ------------------------------------------------------------- report
+    import jax
+
+    platform = jax.devices()[0].platform
+    clean = next((r for r in rows if r["noise"] == "clean"), None)
+    val = [m for m in metrics if "val_acc" in m]
+    acc_curve = " → ".join(f"{m['val_acc']:.3f}" for m in val)
+    doc = os.path.join(REPO, "docs", "runs", "TRAINED_LID_r4.md")
+    lines = [
+        f"# Trained-LID artifact — {date}",
+        "",
+        f"Platform: `{platform}`.  Supervised joint LID+ASR (4-block 96-d",
+        "Conformer, 3 tone-code languages with overlapping alphabets and",
+        "held-out val — scripts/synth_corpus.py) trained through the real",
+        f"CLI for {EPOCHS} epochs by `scripts/trained_lid_artifact.py`,",
+        "then evaluated with the real offline-eval CLI (noise mixing, LM",
+        "perplexity arbitration threshold 0.15).",
+        "",
+        f"Training wall: {report['phases']['train'].get('wall_s')} s.",
+        f"Held-out val accuracy over training: {acc_curve}",
+        "",
+        "## Clean + SNR × noise grid "
+        f"({report['phases']['sweep']['wall_s']} s, "
+        f"cells failed={failed}, retries={retried})",
+        "",
+        "| cell | acc | EER(true) | Cavg(true) | CER | arbitrated | "
+        "ms/utt |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        cell = ("clean" if r["noise"] == "clean"
+                else f"{r['noise']} @ {r['snr']:g} dB")
+        lines.append(
+            f"| {cell} | {r['acc']:.3f} | {r['eer_true']:.3f} | "
+            f"{r['cavg_true']:.3f} | {r['cer']:.3f} | "
+            f"{r['lm_arbitrated']}/{r['n_utts']} | "
+            f"{r['avg_time_s'] * 1e3:.1f} |"
+        )
+    lines.append("")
+    if clean:
+        gate = "PASS" if clean["acc"] >= 0.9 else "FAIL"
+        lines.append(
+            f"**Clean held-out accuracy {clean['acc']:.3f}** "
+            f"(gate ≥0.9: {gate}); clean EER(true) "
+            f"{clean['eer_true']:.3f}, arbitration fired on "
+            f"{clean['lm_arbitrated']}/{clean['n_utts']} clean utterances."
+        )
+    for noise in ("white", "babble", "factory1"):
+        ladder = [r for r in rows if r["noise"] == noise]
+        ladder.sort(key=lambda r: -r["snr"])
+        accs = [r["acc"] for r in ladder]
+        mono = all(a >= b - 0.03 for a, b in zip(accs, accs[1:]))
+        lines.append(
+            f"- {noise}: acc by falling SNR {accs} — "
+            f"{'monotone (±0.03 tolerance)' if mono else 'NOT monotone'}"
+        )
+    lines.append("")
+    with open(doc, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"doc": doc, "clean": clean,
+                      **report["phases"]}, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
