@@ -7,18 +7,21 @@ accuracy pinned near chance — docs/runs/CHIP_FINDINGS_r3.md):
 - audio ENCODES the transcript: each char is a ~0.14 s tone segment from a
   global 12-tone ladder (600 Hz, quarter-octave steps), so the per-language
   CTC heads have a genuinely learnable acoustics->text mapping;
-- OVERLAPPING tone alphabets: each of 3 languages uses 8 of the 12 tones
-  (cyclic stride 4), so a WRONG-language head can still transcribe roughly
-  half the frames of any utterance.  This matters because the reference's
-  confidence score (WavLMMutiLangModel.py:410-427, rebuilt in
-  models/multilang.lang_confidence_scores) maps an all-blank head to score
-  0, which the eval pipeline's -1/(s-1e-9) normalization turns into +1e9 —
-  an all-blank head would dominate argmax.  Disjoint alphabets therefore
-  make eval accuracy WORSE the better the model gets; overlap keeps the
-  score semantics in their intended regime;
+- MOSTLY-DISJOINT tone alphabets: each of 3 languages uses 8 of an
+  18-tone ladder (stride 5 → adjacent languages share 3 tones, aa/cc share
+  none).  A wrong-language head therefore sees mostly off-alphabet tones:
+  it either stays blank (zero evidence → floored worst score, see
+  models/multilang.lang_confidence_scores' cnt==0 deviation) or emits
+  low-confidence frames, so confidence scores genuinely separate.  A v2
+  design with heavy overlap (8 of 12 tones, stride 4) let wrong heads
+  transcribe ~half of any utterance confidently and LID accuracy plateaued
+  at 0.74; fully-disjoint alphabets are avoided so some utterances still
+  exercise the non-degenerate scoring path;
 - language-specific TIMBRE (harmonic amplitude profile) over the shared
   ladder: the own-language head sees on-manifold features and wins on
-  confidence;
+  confidence even on shared tones;
+- eighth-octave steps from 500 Hz keep the 3rd harmonic of the highest
+  tone (≈6.6 kHz) below Nyquist at 16 kHz;
 - held-out val utterances from the same generator with a different seed
   (written under wav/train/ because the XF manifest layout hardcodes that
   subdir — reference raw_datasets.py:111-112).
@@ -32,11 +35,11 @@ import os
 import numpy as np
 
 SR = 16000
-TONES = [600.0 * (2.0 ** (k / 4.0)) for k in range(12)]
-LANG_CHARS = {  # 8 chars each; tone index = (start + j) % 12
+TONES = [500.0 * (2.0 ** (k / 8.0)) for k in range(18)]
+LANG_CHARS = {  # 8 chars each; tone index = (start + j) % len(TONES)
     "aa": ("abcdefgh", 0),
-    "bb": ("ijklmnop", 4),
-    "cc": ("qrstuvwx", 8),
+    "bb": ("ijklmnop", 5),
+    "cc": ("qrstuvwx", 10),
 }
 LANG_TIMBRE = {  # (fundamental, 2nd, 3rd) harmonic amplitudes
     "aa": (1.0, 0.05, 0.02),
@@ -56,7 +59,8 @@ def synth_utterance(lang: str, text: str, rng) -> np.ndarray:
         if ch == " ":
             segs.append(0.005 * rng.randn(n))
             continue
-        f = TONES[(start + chars.index(ch)) % 12] * (1 + 0.01 * rng.randn())
+        f = (TONES[(start + chars.index(ch)) % len(TONES)]
+             * (1 + 0.01 * rng.randn()))
         ph = rng.rand() * 6.28
         w = (h1 * np.sin(2 * np.pi * f * t + ph)
              + h2 * np.sin(2 * np.pi * 2 * f * t + ph)

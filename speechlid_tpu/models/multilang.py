@@ -184,6 +184,15 @@ def lang_confidence_scores(
     (``corrected=False``), or exp-mean with the quadratic vocab-size
     correction fit through (1/Nb, 1/Nb²·a+…) and (1, 1)
     (``corrected=True``, WavLMMutiLangModel.py:420-427).
+
+    Deviation for the zero-evidence case: when a head decodes ALL frames as
+    blank (cnt == 0) the reference divides 0/0 — and a naive eps-guard
+    yields score 0.0, which OUTRANKS every real score (real means are
+    negative log-probs), so an all-blank wrong-language head would win the
+    argmax.  No evidence must mean worst confidence: we floor cnt == 0 at
+    -2.0 (strictly below the ≈ -ln(V+1)/ln(V) ≥ -1.1 reachable minimum) for
+    the uncorrected score and at conf = 0 (the quadratic's fixed point,
+    strictly below any exp(mean log-prob) > 0) for the corrected one.
     """
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     max_value = jnp.max(lp, axis=-1)  # (L, B, T)
@@ -196,11 +205,14 @@ def lang_confidence_scores(
     cnt = jnp.sum(nonblank, axis=-1).astype(jnp.float32)  # (L, B)
     total = jnp.sum(jnp.where(nonblank, max_value, 0.0), axis=-1)  # (L, B)
     v = vocab_sizes.astype(jnp.float32)[:, None]
+    has_evidence = cnt > 0
     if not corrected:
-        score = total / (cnt * jnp.log(v) + 1e-5)
+        score = jnp.where(
+            has_evidence, total / (cnt * jnp.log(v) + 1e-5), -2.0
+        )
     else:
         nb = jnp.max(vocab_sizes) + 1
-        conf = jnp.exp(total / (cnt + 1e-5))
+        conf = jnp.where(has_evidence, jnp.exp(total / (cnt + 1e-5)), 0.0)
         a = (nb - v - 1.0) / nb
         b = (1.0 + v) / nb
         score = a * conf**2 + b * conf

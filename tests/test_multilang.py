@@ -64,8 +64,23 @@ class TestConfidenceScores:
         lp = jax.nn.log_softmax(jnp.asarray(logits[0, 0, 0]))
         expected0 = float(4 * lp.max() / (4 * np.log(5) + 1e-5))
         np.testing.assert_allclose(scores[0, 0], expected0, rtol=1e-5)
-        # lang1: no non-blank frames → sum 0 / eps → 0
-        assert abs(scores[0, 1]) < 1e-3
+        # lang1: no non-blank frames → zero-evidence floor, strictly below
+        # any achievable mean (see lang_confidence_scores docstring) — NOT
+        # the eps-guarded 0.0 which would outrank every confident head
+        np.testing.assert_allclose(scores[0, 1], -2.0)
+        assert scores[0, 1] < scores[0, 0]
+
+    def test_all_blank_floor_corrected(self):
+        L, B, T, V = 2, 1, 4, 6
+        logits = np.full((L, B, T, V), -10.0, np.float32)
+        logits[0, 0, :, 1] = 5.0
+        logits[1, 0, :, 5] = 5.0  # all blank
+        vocabs = jnp.asarray([5, 5])
+        s = np.asarray(
+            lang_confidence_scores(jnp.asarray(logits), vocabs, corrected=True)
+        )
+        assert s[0, 1] == 0.0  # conf floored to 0 → quadratic fixed point
+        assert s[0, 1] < s[0, 0]
 
     def test_corrected_variant_monotone(self):
         rng = np.random.RandomState(0)
