@@ -830,7 +830,13 @@ def main() -> None:
         # transfer + startup amortize, and cumulative partial JSON means
         # even a timeout records the points measured so far (b128 — the
         # measured knee — goes first inside the sweep)
-        ("wavlm_f32_sweep", 200.0, True),  # HEADLINE — first on device
+        # Cap sized from a MEASURED truly-cold run (2026-08-19, no cache
+        # seed — removed per advisor): the b128 flagship remote-compile
+        # alone is ~200-210 s, so 260 s lets a stone-cold driver run still
+        # land the headline point via the child's cumulative emission
+        # (a 200 s cap was a near-miss: compile finished, kill beat the
+        # first JSON line)
+        ("wavlm_f32_sweep", 260.0, True),  # HEADLINE — first on device
         ("frontend", 80.0, True),  # named metric: feature_extraction_rtf
         ("p50", 120.0, True),  # named metric: p50 (own stage, r3 lesson)
         ("conformer", 120.0, True),  # named metric: conformer_utt_s

@@ -45,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synth_corpus import LANG_CHARS, SR, make_corpus  # noqa: E402
 
-EPOCHS = 16
+EPOCHS = int(os.environ.get("AUG_EQUIV_EPOCHS", "32"))
 N_TRAIN = 48
 SPEEDS = (0.9, 1.0, 1.1)
 PITCH_CENTS = (-80, -60, -40, -20, 0, 0, 20, 40, 60, 80)
@@ -225,7 +225,11 @@ def main():
     lines.append(
         "Device-vs-reference-semantics |A - B|: "
         + ", ".join(f"{k}={delta[k]:.4f}" for k in keys))
-    ok = all(delta[k] <= max(2 * noise[k], 0.08) for k in ("val_acc",))
+    # gate on accuracy AND WER: early in training LID accuracy can sit at
+    # chance while the CTC heads are still visibly learning — WER is the
+    # metric that moves first, so agreement there is the stronger signal
+    ok = all(delta[k] <= max(2 * noise[k], 0.08)
+             for k in ("val_acc", "val_wer"))
     lines.append("")
     lines.append(
         f"**Equivalence verdict: {'PASS' if ok else 'FAIL'}** — the device"

@@ -38,7 +38,8 @@ from eval_chip_validate import run_phase  # noqa: E402  (subprocess + retry)
 from synth_corpus import (  # noqa: E402
     SR, make_corpus, write_lms, write_noises)
 
-EPOCHS = 64
+EPOCHS = 40  # v2-corpus runs plateaued by epoch ~24; 40 leaves margin
+# while fitting the chip window (64 epochs ≈ 75 min on the tunneled chip)
 
 
 def write_config(conf_dir: str, corpus_root: str) -> str:

@@ -263,6 +263,54 @@ class TestServeHandlers:
             urllib.request.urlopen(req, timeout=30)
         assert e.value.code == 400
 
+    def test_stats_endpoint(self, server):
+        # after >=1 /lid request the phase percentiles must be populated
+        wav = np.random.RandomState(0).randn(16000).astype(np.float32)
+        req = urllib.request.Request(
+            server + "/lid", data=wav.tobytes(), method="POST"
+        )
+        urllib.request.urlopen(req, timeout=30).read()
+        out = json.loads(
+            urllib.request.urlopen(server + "/stats", timeout=30).read()
+        )
+        for phase in ("pad", "queue", "device", "total"):
+            assert out[phase]["n"] >= 1
+            assert out[phase]["p50_ms"] >= 0.0
+        assert out["bucket_hits"].get("1s", 0) >= 1
+        assert out["packed_io"] is False
+
+    def test_lid_packed_io(self):
+        """Packed single-upload path: the (1, T+1) array must carry the
+        true length in its trailing slot and route through lid_packed_fn."""
+        import threading
+
+        from speechlid_tpu.cli.serve import InferenceState
+
+        seen = {}
+
+        def fake_packed(p):
+            import jax.numpy as jnp
+
+            p = np.asarray(p)
+            seen["shape"] = p.shape
+            seen["length"] = int(p[0, -1])
+            return jnp.asarray([[0.1, 0.9]])
+
+        state = InferenceState(
+            lid_fn=None, index2lang={0: "aa", 1: "bb"},
+            lid_packed_fn=fake_packed,
+        )
+        threading.Thread(target=state._device.run_forever,
+                         daemon=True).start()
+        time.sleep(0.05)
+        wav = np.random.RandomState(0).randn(12000).astype(np.float32)
+        out = state.lid(wav)
+        assert out["lang"] == "bb"
+        # 12000 samples pad to the 1 s (16000) bucket, +1 packed slot
+        assert seen["shape"] == (1, 16001)
+        assert seen["length"] == 12000
+        assert state.stats_summary()["packed_io"] is True
+
     def test_health(self, server):
         out = json.loads(
             urllib.request.urlopen(server + "/healthz", timeout=30).read()
