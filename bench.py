@@ -4,9 +4,12 @@ Driver-facing: prints ONE JSON line
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}`` —
 UNCONDITIONALLY.  The orchestrator is deadline-proof:
 
-- the chip-free CPU reference runs first (it also absorbs a recovering
-  worker's lag), then the headline WavLM f32 batch sweep (b128 point
-  first — the measured knee) before everything else;
+- the chip-free CPU reference (vs_baseline denominator) is a cached
+  host constant after its first measurement, and when it does need
+  measuring it runs CONCURRENTLY with the device stages — it never
+  spends device budget; the headline WavLM f32 batch sweep (b128 point
+  first — the measured knee) leads on the chip, with the flagship
+  training step immediately after it;
 - a global wall-clock budget (env ``SPEECHLID_BENCH_BUDGET_S``, default
   500 s) is enforced between stages and caps every child's timeout, so the
   parent always finishes before a ``timeout 600`` driver kill;
@@ -604,9 +607,11 @@ def run_stage(stage: str) -> dict:
             rest = rest[: -len("_sweep")]
             # best-known point FIRST so a parent timeout still records the
             # headline from the cumulative partial lines (b128 measured
-            # 1113.9 utt/s vs ~1010 at b256 — CHIP_FINDINGS_r3.md); 512
-            # probes past the knee on the headline dtype only
-            batches = (128, 256, 32, 512) if rest == "f32" else (128, 256, 32)
+            # 1113.9 utt/s vs ~1010 at b256 — CHIP_FINDINGS_r3.md).  Two
+            # points per dtype: r4's three-point f32 sweep burned 260 s
+            # before the train stage ever ran (VERDICT r4 weak #1); the
+            # knee (128) + the small-batch point (32) carry the signal
+            batches = (128, 32)
             return bench_model_sweep(
                 _wavlm_builder, _accel(), rest, batches=batches, iters=8,
             )
@@ -808,10 +813,69 @@ def _on_signal(signum, frame):
     os._exit(0)
 
 
+_CPU_REF_CACHE = os.path.expanduser(
+    "~/.cache/speechlid_tpu/bench_cpu_ref.json"
+)
+
+
+def _start_cpu_ref():
+    """vs_baseline denominator, handled OFF the budget path (round-4
+    verdict: re-measuring this chip-free ~1.1 utt/s constant burned 77 s
+    of a 500 s budget every run).  Cached once measured (it is a property
+    of this host's CPU, not of the chip), else launched as a CONCURRENT
+    child — it needs no accelerator, so it overlaps the device stages.
+
+    → (cached payload | None, Popen | None)."""
+    import subprocess
+
+    try:
+        with open(_CPU_REF_CACHE) as f:
+            payload = json.load(f)
+        if payload.get("cpu_utt_s"):
+            return dict(payload, cached=True), None
+    except (OSError, ValueError):
+        pass
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--stage", "cpu_ref"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return None, proc
+
+
+def _finish_cpu_ref(proc) -> dict:
+    try:
+        stdout, _ = proc.communicate(timeout=max(5.0, _remaining() - 10.0))
+    except Exception:
+        proc.kill()
+        return {"error": "cpu_ref timeout"}
+    for line in reversed((stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                payload = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if payload.get("cpu_utt_s"):
+                try:
+                    os.makedirs(os.path.dirname(_CPU_REF_CACHE),
+                                exist_ok=True)
+                    with open(_CPU_REF_CACHE, "w") as f:
+                        json.dump(payload, f)
+                except OSError:
+                    pass
+            return payload
+    return {"error": f"cpu_ref rc={proc.returncode}"}
+
+
 def main() -> None:
     atexit.register(_emit)
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
+
+    cpu_ref_payload, cpu_ref_proc = _start_cpu_ref()
+    if cpu_ref_payload is not None:
+        _RESULTS["cpu_ref"] = cpu_ref_payload
 
     # (stage, per-stage cap seconds, needs accelerator) — value-determining
     # stages first so the headline lands even under a tight driver deadline
@@ -824,8 +888,6 @@ def main() -> None:
     # one 450 s sweep cap + an all-or-nothing frontend child starved 5
     # named fields — BENCH_r03.json).
     stages = [
-        ("cpu_ref", 240.0, False),  # vs_baseline denominator; chip-free,
-        #                             also absorbs a recovering worker's lag
         # batch sweeps run ALL points in one child: the 376 MB param
         # transfer + startup amortize, and cumulative partial JSON means
         # even a timeout records the points measured so far (b128 — the
@@ -837,13 +899,17 @@ def main() -> None:
         # (a 200 s cap was a near-miss: compile finished, kill beat the
         # first JSON line)
         ("wavlm_f32_sweep", 260.0, True),  # HEADLINE — first on device
+        # flagship TRAINING step (fwd+bwd+adam donated, bf16 b64 — the
+        # measured-best config): the reference's hot loop
+        # (ccml/trainer.py:497-573).  SECOND, directly after the headline
+        # (round-4 verdict: ordering it behind conformer + calibration
+        # starved it of budget every cold run)
+        ("train", 220.0, True),
         ("frontend", 80.0, True),  # named metric: feature_extraction_rtf
         ("p50", 120.0, True),  # named metric: p50 (own stage, r3 lesson)
+        ("calib_f32", 80.0, True),  # ≥1 calibration entry (MFU denominator
+        #                             health check — before conformer)
         ("conformer", 120.0, True),  # named metric: conformer_utt_s
-        ("calib_f32", 80.0, True),  # ≥1 calibration entry
-        # flagship TRAINING step (fwd+bwd+adam donated, bf16 b64 — the
-        # measured-best config): the reference's hot loop, driver-visible
-        ("train", 200.0, True),
         # FULL bf16 (encoder + heads): the round-2 hang was fixed by the
         # conv_barrier/Pallas depthwise work and confirmed on chip
         # 2026-08-18 (1117 utt/s b128) — it supersedes the bf16-mixed
@@ -862,6 +928,13 @@ def main() -> None:
         # the bf16-encoder/f32-head config that worked around the (now
         # fixed) full-bf16 hang — kept measurable on demand
         stages.append(("wavlm_bf16mix_sweep", 450.0, True))
+
+    # per-stage caps are sized for the 500 s driver budget; a generous
+    # warming run (SPEECHLID_BENCH_BUDGET_S=2400) scales them up so a cap
+    # kill never lands mid-remote-compile (that wedges the worker for
+    # 5-15 min — docs/runs/BENCH_COLD_r4.md)
+    cap_scale = max(1.0, BUDGET_S / 500.0)
+    stages = [(s, c * cap_scale, a) for (s, c, a) in stages]
 
     # None = unknown: the FIRST device stage is preceded by a cheap probe —
     # a wedged worker (recovery can hang 5-15 min) must not eat the
@@ -906,6 +979,10 @@ def main() -> None:
                 # a cap-expiry kill ("timeout (partial)") means points
                 # were landing on a healthy chip — no re-probe needed
             _RESULTS[stage] = payload
+    if cpu_ref_proc is not None:
+        t0 = time.monotonic()
+        _RESULTS["cpu_ref"] = _finish_cpu_ref(cpu_ref_proc)
+        _TIMINGS["cpu_ref_join"] = round(time.monotonic() - t0, 1)
     _emit()
 
 
