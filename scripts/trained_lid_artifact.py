@@ -15,7 +15,7 @@ crushes a 4-block model on a micro corpus.  This driver:
 3. runs the SNR x noise grid + LM arbitration through the real offline
    eval CLI (speechlid_tpu.cli.test_lid) — acc/EER must DEGRADE as SNR
    drops and arbitration must fire on a minority of utterances;
-4. writes docs/runs/TRAINED_LID_r4.md with the numbers.
+4. writes docs/runs/TRAINED_LID_r5.md with the numbers.
 
 Run:
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/trained_lid_artifact.py [reuse_root]
@@ -53,7 +53,7 @@ def write_config(conf_dir: str, corpus_root: str) -> str:
     path = os.path.join(conf_dir, "trained_lid.yaml")
     with open(path, "w") as f:
         f.write(f"""model_name: trained_lid
-experiment_name: trained_lid_r4
+experiment_name: trained_lid_r5
 stage: train
 trainer:
   total_epoch: {EPOCHS}
@@ -169,7 +169,7 @@ def main() -> None:
     clean = next((r for r in rows if r["noise"] == "clean"), None)
     val = [m for m in metrics if "val_acc" in m]
     acc_curve = " → ".join(f"{m['val_acc']:.3f}" for m in val)
-    doc = os.path.join(REPO, "docs", "runs", "TRAINED_LID_r4.md")
+    doc = os.path.join(REPO, "docs", "runs", "TRAINED_LID_r5.md")
     lines = [
         f"# Trained-LID artifact — {date}",
         "",

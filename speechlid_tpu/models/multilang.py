@@ -341,18 +341,45 @@ def convert_supervised_lid_state(
     the blank row lands at the shared LAST index V_max, padded slots are
     zeros (masked to -inf at apply time, MultiLangHeadStack.__call__).
     """
-    from speechlid_tpu.models.conformer import (
-        convert_conformer_block_state,
-        convert_conformer_state,
-    )
+    from speechlid_tpu.models.conformer import convert_conformer_state
 
     sd = {k: np.array(v) for k, v in torch_state.items()}  # copy, not view
     feat = convert_conformer_state(
         sd, n_blocks=n_blocks, sub_sampling=sub_sampling,
         prefix="model.featurizer.",
     )
-    vmax = max(lang2vocab[lg] for lg in langs)
+    heads_p, heads_s = _convert_stacked_heads(
+        sd, langs, lang2vocab, head_layers
+    )
+    return {
+        "params": {
+            "featurizer": feat["params"],
+            "heads": {"heads": heads_p},
+            "discriminator": _convert_discriminator(sd),
+        },
+        "batch_stats": {
+            "featurizer": feat["batch_stats"],
+            "heads": {"heads": heads_s},
+        },
+    }
 
+
+def _convert_stacked_heads(
+    sd: Dict[str, "np.ndarray"],
+    langs: Sequence[str],
+    lang2vocab: Dict[str, int],
+    head_layers: int = 1,
+):
+    """Reference per-language ``ConformerLinear`` heads
+    (lid/WavLMMutiLangModel.py:287-351 — identical class in
+    ConformerLangModel) → stacked (L, …) flax leaves for
+    :class:`MultiLangHeadStack`.  The per-language ``Linear(dim, V_l+1)``
+    (blank at index V_l) maps into the max-V-padded stacked Dense: char
+    rows keep their index, the blank row lands at the shared LAST index
+    V_max, padded slots are zeros (masked to -inf at apply time)."""
+    from speechlid_tpu.models.conformer import convert_conformer_block_state
+
+    vmax = max(lang2vocab[lg] for lg in langs)
     head_params: list = []
     head_stats: list = []
     for lg in langs:
@@ -380,8 +407,11 @@ def convert_supervised_lid_state(
     stack = lambda *leaves: np.stack([np.asarray(l) for l in leaves])  # noqa: E731
     heads_p = jax.tree_util.tree_map(stack, *head_params)
     heads_s = jax.tree_util.tree_map(stack, *head_stats)
+    return heads_p, heads_s
 
-    disc = {
+
+def _convert_discriminator(sd: Dict[str, "np.ndarray"]) -> Dict:
+    return {
         "Dense_0": {
             "kernel": sd["lang_discriminator.linear.0.weight"].T,
             "bias": sd["lang_discriminator.linear.0.bias"],
@@ -391,14 +421,43 @@ def convert_supervised_lid_state(
             "bias": sd["lang_discriminator.linear.2.bias"],
         },
     }
+
+
+def convert_joint_wavlm_lid_state(
+    torch_state: Dict[str, "np.ndarray"],
+    langs: Sequence[str],
+    lang2vocab: Dict[str, int],
+    wavlm_cfg,
+    head_layers: int = 1,
+) -> Dict:
+    """Reference ``WavLMMutiLangModel`` state_dict (numpy-converted,
+    lid/WavLMMutiLangModel.py:19) → flax variables for our
+    :class:`MutiLangModel` with an ``SSLFeaturizerModel`` WavLM featurizer
+    (feature_selection='last_hidden_state', matching the reference's
+    ``only_last=True`` path, lid/wavlm/example.py:43-46).
+
+    The WavLM upstream lands under ``params['featurizer']['upstream']``
+    (SSLFeaturizerModel's module name) via
+    :func:`speechlid_tpu.models.wavlm.convert_wavlm_state`; the WavLM
+    trunk has no BatchNorm, so featurizer batch_stats are empty."""
+    from speechlid_tpu.models.wavlm import convert_wavlm_state
+
+    sd = {k: np.array(v) for k, v in torch_state.items()}
+    prefix = "model.featurizer.model."
+    upstream_sd = {
+        k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+    }
+    upstream = convert_wavlm_state(upstream_sd, wavlm_cfg)
+    heads_p, heads_s = _convert_stacked_heads(
+        sd, langs, lang2vocab, head_layers
+    )
     return {
         "params": {
-            "featurizer": feat["params"],
+            "featurizer": {"upstream": upstream},
             "heads": {"heads": heads_p},
-            "discriminator": disc,
+            "discriminator": _convert_discriminator(sd),
         },
         "batch_stats": {
-            "featurizer": feat["batch_stats"],
             "heads": {"heads": heads_s},
         },
     }

@@ -468,10 +468,13 @@ class LidASRTask(TaskModule):
                 getattr(p, "key", str(p)) for p in path
             )
             if freeze_feat and keys.startswith("featurizer"):
-                # SSL: freeze only the conv extractor (reference
-                # freeze_feature_extractor); conformer: whole featurizer
+                # SSL: freeze the conv extractor AND post_extract_proj
+                # (reference freeze_feature_extractor,
+                # lid/WavLMMutiLangModel.py:81-84); conformer: whole
+                # featurizer
                 if self.featurizer_kind == "conformer" or (
                     "feature_extractor" in keys
+                    or "post_extract_proj" in keys
                 ):
                     return np.zeros((), np.float32)
             if freeze_trans and keys.startswith("featurizer") and any(
