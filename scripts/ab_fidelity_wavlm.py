@@ -214,12 +214,14 @@ def run_reference(corpus, plan, args, ckpt_path) -> Dict:
         scheduler="reduce",
         scheduler_param={"factor": 0.5, "patience": 10**6},
         interval=10**6,
-        # freeze schedule under test: BOTH reference gates transition —
-        # conv extractor + post_extract_proj frozen for epoch 0 only (with
+        # freeze schedule under test (both gates CLI-settable): with
+        # --freeze-enc-epoch 0 (default) BOTH reference gates transition —
+        # conv extractor + post_extract_proj unfrozen after epoch 0 (with
         # a random-init tiny extractor the reference's always-frozen
-        # default would never emit non-blanks), transformer frozen for
-        # epoch 0 only
-        freeze_encoder_epoch=0,
+        # default would never emit non-blanks), transformer unfrozen
+        # after epoch 0; --freeze-enc-epoch >= epochs reproduces the
+        # frozen-throughout regime (bit-coincident scores)
+        freeze_encoder_epoch=args.freeze_enc_epoch,
         freeze_tranformer_epoch=0,
         pt_path=ckpt_path,
         dropout=0.0,
@@ -354,7 +356,7 @@ def run_ours(corpus, plan, args, init_state, ckpt_path) -> Dict:
         schedule=None,
         clip_norm=20.0,
         routed_optim=True,
-        freeze_featurizer_epoch=0,
+        freeze_featurizer_epoch=args.freeze_enc_epoch,
         freeze_transformer_epoch=0,
     )
     variables = convert_joint_wavlm_lid_state(
@@ -409,6 +411,9 @@ def main():
     ap.add_argument("--val-per-lang", type=int, default=68)  # 204 utts
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--freeze-enc-epoch", type=int, default=0,
+                    help="conv-extractor/post_extract_proj freeze gate "
+                         "epoch; >= --epochs = frozen throughout")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default="/tmp/ab_fidelity_wavlm")

@@ -5,23 +5,33 @@ audio did not encode the transcript, so CTC could only memorize and eval
 accuracy pinned near chance — docs/runs/CHIP_FINDINGS_r3.md):
 
 - audio ENCODES the transcript: each char is a ~0.14 s tone segment from a
-  global 12-tone ladder (600 Hz, quarter-octave steps), so the per-language
-  CTC heads have a genuinely learnable acoustics->text mapping;
-- MOSTLY-DISJOINT tone alphabets: each of 3 languages uses 8 of an
-  18-tone ladder (stride 5 → adjacent languages share 3 tones, aa/cc share
-  none).  A wrong-language head therefore sees mostly off-alphabet tones:
-  it either stays blank (zero evidence → floored worst score, see
-  models/multilang.lang_confidence_scores' cnt==0 deviation) or emits
-  low-confidence frames, so confidence scores genuinely separate.  A v2
-  design with heavy overlap (8 of 12 tones, stride 4) let wrong heads
-  transcribe ~half of any utterance confidently and LID accuracy plateaued
-  at 0.74; fully-disjoint alphabets are avoided so some utterances still
-  exercise the non-degenerate scoring path;
+  global tone ladder, so the per-language CTC heads have a genuinely
+  learnable acoustics->text mapping;
+- FULLY-DISJOINT tone alphabets (v4): each of 3 languages owns 8 of a
+  24-tone ladder.  v3 ("mostly-disjoint", 3 shared tones between adjacent
+  languages) plateaued at LID acc ~0.44: the round-5 score diagnostic
+  (scripts/score_diagnostic.py on the r5 chip run) showed wrong-language
+  heads transcribing FULL-LENGTH garbage in their own alphabets with
+  per-frame confidence equal to the true head's (mean non-blank evidence
+  25.2 frames wrong vs 23.6 true; aa<->cc confusions despite zero shared
+  tones) — CTC heads extrapolate confidently off-manifold, and the
+  reference confidence formula (WavLMMutiLangModel.py:410-427) averages
+  only over non-blank frames, so evidence quality, not quantity, decides.
+  Disjointness removes the legitimate cross-decodes; the two text-level
+  mechanisms below handle the extrapolated ones;
+- LEXICON texts (v4): each language draws words from a FIXED 14-word
+  lexicon instead of random char strings.  (a) the per-language head block
+  (ConformerLinear) learns its lexicon's transition structure, so
+  off-language audio decodes to out-of-lexicon junk at lower confidence;
+  (b) the word-unigram ARPA LMs (write_lms) cover the lexicon EXACTLY, so
+  the reference's perplexity arbitration (test.py:202-220) genuinely
+  separates in-lexicon true decodes from junk — v3 built LMs over a
+  SAMPLE of an unbounded random-word space, val words were ~all <unk>,
+  and arbitration was a no-op (clean acc 0.375 with 32/72 arbitrated);
 - language-specific TIMBRE (harmonic amplitude profile) over the shared
-  ladder: the own-language head sees on-manifold features and wins on
-  confidence even on shared tones;
-- eighth-octave steps from 500 Hz keep the 3rd harmonic of the highest
-  tone (≈6.6 kHz) below Nyquist at 16 kHz;
+  ladder: the own-language head sees on-manifold features;
+- ladder 460→2200 Hz geometric (≈1/10-octave steps) keeps the highest
+  3rd harmonic (6.6 kHz) below Nyquist at 16 kHz;
 - held-out val utterances from the same generator with a different seed
   (written under wav/train/ because the XF manifest layout hardcodes that
   subdir — reference raw_datasets.py:111-112).
@@ -35,12 +45,13 @@ import os
 import numpy as np
 
 SR = 16000
-TONES = [500.0 * (2.0 ** (k / 8.0)) for k in range(18)]
+TONES = [460.0 * ((2200.0 / 460.0) ** (k / 23.0)) for k in range(24)]
 LANG_CHARS = {  # 8 chars each; tone index = (start + j) % len(TONES)
     "aa": ("abcdefgh", 0),
-    "bb": ("ijklmnop", 5),
-    "cc": ("qrstuvwx", 10),
+    "bb": ("ijklmnop", 8),
+    "cc": ("qrstuvwx", 16),
 }
+LEXICON_SIZE = 14  # fixed per-language word inventory (see make_lexicon)
 LANG_TIMBRE = {  # (fundamental, 2nd, 3rd) harmonic amplitudes
     "aa": (1.0, 0.05, 0.02),
     "bb": (0.4, 1.0, 0.1),
@@ -74,13 +85,27 @@ def synth_utterance(lang: str, text: str, rng) -> np.ndarray:
     return (0.2 * wav / np.max(np.abs(wav))).astype(np.float32)
 
 
+def make_lexicon(lang: str) -> list:
+    """Deterministic per-language word inventory (LEXICON_SIZE unique
+    words, 2-4 chars).  Deterministic so train/val texts, the head's
+    learned transition structure, and write_lms' ARPA all share ONE
+    closed vocabulary."""
+    chars, start = LANG_CHARS[lang]
+    rng = np.random.RandomState(1000 + start)
+    words: list = []
+    seen = set()
+    while len(words) < LEXICON_SIZE:
+        w = "".join(rng.choice(list(chars), size=rng.randint(2, 5)))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
 def make_text(lang: str, rng) -> str:
-    chars, _ = LANG_CHARS[lang]
-    words = []
-    for _ in range(rng.randint(2, 4)):
-        words.append("".join(rng.choice(list(chars),
-                                        size=rng.randint(2, 5))))
-    return " ".join(words)
+    lex = make_lexicon(lang)
+    return " ".join(lex[rng.randint(len(lex))]
+                    for _ in range(rng.randint(2, 4)))
 
 
 def make_corpus(root: str, n_train: int = 64, n_val: int = 24):
@@ -128,13 +153,13 @@ def write_noises(noise_dir: str) -> None:
 
 
 def write_lms(lm_dir: str) -> None:
-    """Per-language word-unigram ARPA over each language's generator word
-    distribution (sampled), so perplexity arbitration discriminates."""
+    """Per-language word-unigram ARPA over the language's EXACT lexicon
+    (make_lexicon — the closed vocabulary every text is drawn from), so
+    perplexity arbitration discriminates: in-lexicon true decodes score
+    ~1/(V+1) per word, out-of-lexicon junk falls to <unk> at -3."""
     os.makedirs(lm_dir, exist_ok=True)
     for li, lang in enumerate(sorted(LANG_CHARS)):
-        rng = np.random.RandomState(300 + li)
-        words = sorted({w for _ in range(400)
-                        for w in make_text(lang, rng).split()})
+        words = sorted(make_lexicon(lang))
         logp = math.log10(1.0 / (len(words) + 1))
         lines = ["\\data\\", f"ngram 1={len(words) + 3}", "",
                  "\\1-grams:", "-3.00\t<unk>", f"{logp:.4f}\t<s>",
