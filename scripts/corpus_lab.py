@@ -12,7 +12,13 @@ trained-LID gate:
 
 Run (chip or CPU):
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/corpus_lab.py \
-        [--epochs 24] [--n-train 48] [--threshold 0.15]
+        [--epochs 24] [--n-train 48] [--batch-size 8] [--threshold 0.15] \
+        [--params /tmp/lab_params.pkl]
+
+Progress streams to --metrics-jsonl (default /tmp/lab_metrics.jsonl) so a
+long tunneled-chip run is observable; --params persists the trained pytree
+so scoring variants (thresholds, diagnostics) can rerun without retraining
+(pass --reuse-params to skip training).
 """
 
 from __future__ import annotations
@@ -37,7 +43,14 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=24)
     ap.add_argument("--n-train", type=int, default=48)
     ap.add_argument("--n-val", type=int, default=24)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--threshold", type=float, default=0.15)
+    ap.add_argument("--metrics-jsonl", default="/tmp/lab_metrics.jsonl")
+    ap.add_argument("--params", default=None,
+                    help="pickle the trained train-state pytree here")
+    ap.add_argument("--reuse-params", default=None,
+                    help="skip training; score this pickled pytree")
     args = ap.parse_args()
 
     import jax
@@ -69,27 +82,48 @@ def main() -> None:
     index2lang = {i: l for l, i in lang2index.items()}
     lang2vocab = {l: len(v) for l, v in vocabs.items()}
     ds = MergedDataset(train_m, toks, lang2index)
-    feed = BucketFeeder(ds, MultiBatchSampler(ds, batch_size=8, seed=0),
-                        buckets_s=(3.0,), max_text_len=16)
+    feed = BucketFeeder(
+        ds, MultiBatchSampler(ds, batch_size=args.batch_size, seed=0),
+        buckets_s=(3.0,), max_text_len=16)
     val_ds = MergedDataset(build("val"), toks, lang2index)
-    val_feed = BucketFeeder(val_ds,
-                            MultiBatchSampler(val_ds, batch_size=8, seed=1),
-                            buckets_s=(3.0,), max_text_len=16)
+    val_feed = BucketFeeder(
+        val_ds, MultiBatchSampler(val_ds, batch_size=args.batch_size, seed=1),
+        buckets_s=(3.0,), max_text_len=16)
 
     task = LidASRTask(
         lang2vocab=lang2vocab, lang2index=lang2index, tokenizers=toks,
         n_blocks=4, encoder_dim=96, heads=4, dim_head=24,
         sub_sampling=4, head_dim_head=16, head_num_head=4,
-        lr=2e-3, schedule=None, mask_times=1,
+        lr=args.lr, schedule=None, mask_times=1,
         dropout=0.05, pos_dropout=0.0, use_stochastic_depth=False,
     )
-    trainer = Trainer(total_epoch=args.epochs, use_progress_bar=False,
-                      eval_interval=args.epochs)
-    trainer.fit(task, feed, val_feed)
+
+    import pickle
+
+    if args.reuse_params:
+        with open(args.reuse_params, "rb") as f:
+            restored = pickle.load(f)
+        # one fit-shaped prepare is still needed to build infer shapes? no:
+        # infer_fn closes over the model only — params come from the pickle
+    else:
+        from speechlid_tpu.core.loggers.backends import JsonlLogger
+        from speechlid_tpu.core.loggers.multiplexer import Logger
+
+        trainer = Trainer(
+            total_epoch=args.epochs, use_progress_bar=False,
+            eval_interval=args.epochs,
+            loggers=Logger([JsonlLogger(args.metrics_jsonl)]),
+        )
+        trainer.fit(task, feed, val_feed)
+        restored = jax.device_get(
+            {"params": trainer.state.params,
+             **(trainer.state.model_state or {})})
+        if args.params:
+            with open(args.params, "wb") as f:
+                pickle.dump(restored, f)
+    print("training done; scoring", flush=True)
 
     infer = jax.jit(task.infer_fn())
-    restored = {"params": trainer.state.params,
-                **(trainer.state.model_state or {})}
     lms = {l: NgramLM(os.path.join(lm_dir, f"{l}.arpa"))
            for l in lang2index}
     blank = int(max(task.vocab_sizes))
