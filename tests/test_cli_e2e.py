@@ -77,7 +77,9 @@ data:
 
 
 @pytest.mark.parametrize("overrides", [
-    pytest.param([], id="default"),
+    # both ~100 s cold each on 1 CPU (full CLI train+eval compile);
+    # config plumbing stays default-gated via test_configs.py
+    pytest.param([], id="default", marks=pytest.mark.slow),
     pytest.param(["trainer.model_parallel=2"], marks=pytest.mark.slow,
                  id="model_parallel"),
 ])

@@ -23,6 +23,7 @@ from speechlid_tpu.tasks.extras import (
 
 
 class TestImageClassification:
+    @pytest.mark.slow  # ~30 s cold (mnist-analog smoke; not LID-critical)
     def test_digits_accuracy(self):
         from sklearn.datasets import load_digits
 
@@ -68,6 +69,7 @@ class TestLM:
         assert tok.vocab2num[tok.UNK] in ids  # xyz is OOV
         assert tok.decoder(ids) == "the cat <unk>"
 
+    @pytest.mark.slow  # ~32 s cold; tokenizer/decode tests stay default
     def test_lm_trains_ppl_drops(self, corpus_file):
         vocab = build_vocab(corpus_file)
         tok = WordTokenizer(vocab)
@@ -112,8 +114,22 @@ class TestRML:
             for i in range(0, n, 32)
         ]
 
+    def test_train_loop_forward(self):
+        """Fast default-gate representative: one RMLTask train_loop call
+        (no fit) — finite loss + aux-metric keys."""
+        import jax
+
+        data = self._data(n=32)
+        task = RMLTask(n_classes=4, base_filters=16, kernel_size=8,
+                       n_blocks=2, use_rnn=False, use_snr_info=True,
+                       lr=2e-3)
+        variables = task.init_variables(jax.random.PRNGKey(0), data[0])
+        loss, metrics, _ = task.train_loop(
+            variables, data[0], rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.isfinite(float(loss))
+
     @pytest.mark.parametrize("use_snr,use_rnn", [
-        (False, False),
+        pytest.param(False, False, marks=pytest.mark.slow),  # ~34 s cold
         pytest.param(True, True, marks=pytest.mark.slow),
     ])
     def test_trains(self, use_snr, use_rnn):
@@ -134,9 +150,9 @@ class TestSpecPred:
         return np.sin(2 * np.pi * freqs * ts).astype(np.float32)
 
     @pytest.mark.parametrize("model", [
-        "mlp",
+        "mlp",  # the fast default-gate representative (~9 s)
         pytest.param("lstm", marks=pytest.mark.slow),
-        "causal_conv",
+        pytest.param("causal_conv", marks=pytest.mark.slow),  # ~18 s cold
         pytest.param("cnn_lstm", marks=pytest.mark.slow),
         pytest.param("transformer", marks=pytest.mark.slow),
     ])

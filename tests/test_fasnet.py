@@ -122,6 +122,8 @@ class TestFaSNetTAC:
         np.testing.assert_allclose(partial[1], fixed[1], rtol=1e-4,
                                    atol=1e-5)
 
+    @pytest.mark.slow  # ~46 s cold (SETask train+enhance compile);
+    # FaSNet coverage stays via the sliding-primitive + origin tests
     def test_se_task_integration(self):
         from speechlid_tpu.tasks.se import SETask
 
@@ -142,7 +144,9 @@ class TestFaSNetTAC:
 
 class TestSELDNet:
     @pytest.mark.parametrize("builder,chans", [
-        (seldnet_vanilla, 8), (seldnet_augmented, 4),
+        pytest.param(seldnet_vanilla, 8, marks=pytest.mark.slow),  # ~21 s
+        pytest.param(seldnet_augmented, 4, marks=pytest.mark.slow),  # ~28 s
+        # SELDNet keeps test_train_mode_mutates_batch_stats (~9 s) default
     ])
     def test_presets(self, builder, chans):
         rng = np.random.RandomState(0)

@@ -38,6 +38,8 @@ class TestConformer:
         y = m.apply(params, x)
         assert y.shape == (2, 50, 144)
 
+    @pytest.mark.slow  # ~25 s cold (two full-model compiles);
+    # test_block_shape + padding_invariance keep the default coverage
     def test_model_subsampling_2_and_4(self):
         for sub, t_out in [(2, 51), (4, 24)]:
             m = ConformerModel(n_blocks=2, encoder_dim=64, heads=2, dim_head=32,
@@ -207,6 +209,7 @@ class TestXVEC:
 
 
 class TestResNet:
+    @pytest.mark.slow  # ~24 s cold; resnet34_jit is the fast default rep
     def test_resnet18_shapes(self):
         m = ResNet18(feat_dim=80, embed_dim=128)
         x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 80), jnp.float32)
@@ -261,6 +264,8 @@ class TestConformerScanBlocks:
         y1 = np.asarray(m1.apply(v1, x, lens))
         np.testing.assert_allclose(y1, y0, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow  # ~30 s cold (scan fwd+bwd compile);
+    # test_parity_with_unrolled keeps the default scan coverage
     def test_train_mode_grads_and_mutation(self):
         """Training path under scan: stochastic depth rng splits per layer,
         BatchNorm stats mutate, grads flow to every stacked layer."""
@@ -289,6 +294,7 @@ class TestConformerScanBlocks:
                         for l in leaves)
         assert np.all(np.asarray(per_layer) > 0)
 
+    @pytest.mark.slow  # ~17 s cold
     def test_remat_composes(self):
         m = ConformerModel(**self.KW, scan_blocks=True, remat=True)
         rng = np.random.RandomState(2)

@@ -25,7 +25,10 @@ VOCABS = (10, 25, 7)  # three languages, uneven vocab sizes
 
 
 class TestHeadStack:
-    @pytest.mark.parametrize("head_type", ["conformer_linear", "bilstm"])
+    @pytest.mark.parametrize("head_type", [
+        pytest.param("conformer_linear", marks=pytest.mark.slow),  # ~25 s
+        "bilstm",  # fast default-gate head-stack representative (~11 s)
+    ])
     def test_all_languages_one_graph(self, head_type):
         m = MultiLangHeadStack(
             vocab_sizes=VOCABS, head_type=head_type, linear_dim=32,
@@ -105,6 +108,8 @@ class TestConfidenceScores:
 
 
 class TestMutiLangModel:
+    @pytest.mark.slow  # ~36 s cold; the bilstm head-stack + confidence
+    # tests keep MutiLangModel default coverage
     def test_end_to_end_with_conformer_featurizer(self):
         feat = ConformerModel(n_blocks=1, encoder_dim=32, heads=2, dim_head=16,
                               n_mels=80, use_stochastic_depth=False)
@@ -135,7 +140,11 @@ class TestMutiLangModel:
 
 
 class TestLidClassifier:
-    @pytest.mark.parametrize("backend", ["xvector", "linear", "resnet2", "xvector2"])
+    @pytest.mark.parametrize("backend", [
+        "xvector", "linear",
+        pytest.param("resnet2", marks=pytest.mark.slow),  # ~37 s cold
+        "xvector2",
+    ])
     def test_backends(self, backend):
         m = LidClassifier(backend=backend, num_classes=3, feat_dim=80)
         x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 80), jnp.float32)

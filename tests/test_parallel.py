@@ -154,11 +154,11 @@ class TestTrainerParamRules:
         from speechlid_tpu.core.optim import make_optimizer
         import optax
 
-        feat = ConformerModel(n_blocks=1, encoder_dim=32, heads=2,
-                              dim_head=16, sub_sampling=4,
+        feat = ConformerModel(n_blocks=1, encoder_dim=16, heads=2,
+                              dim_head=8, sub_sampling=4,
                               use_stochastic_depth=False)
         model = MutiLangModel(featurizer=feat, vocab_sizes=(8, 8),
-                              linear_dim=32, dim_head=8, num_head=4)
+                              linear_dim=16, dim_head=8, num_head=2)
 
         class TinyLidTask(TaskModule):
             rng_keys = ("dropout", "stochastic_depth", "specaug")
@@ -197,9 +197,9 @@ class TestTrainerParamRules:
 
         rng = np.random.RandomState(0)
         data = [
-            (rng.randn(4, 41, 80).astype(np.float32),
-             np.full((4,), 41, np.int32),
-             (np.arange(4) % 2).astype(np.int32))
+            (rng.randn(2, 21, 80).astype(np.float32),
+             np.full((2,), 21, np.int32),
+             (np.arange(2) % 2).astype(np.int32))
             for _ in range(2)
         ]
 

@@ -128,6 +128,8 @@ def test_int8_dot_under_jit():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # ~74 s cold; int8 engine keeps default coverage via
+# the dot/dense/STE unit tests + framed-conv parity below
 def test_flagship_int8_infer_agrees():
     """Tiny WavLM joint model: int8 serving scores track the f32 scores
     and the graph runs under jit (the serving configuration)."""
@@ -204,6 +206,7 @@ def test_framed_conv_extractor_parity():
     )
 
 
+@pytest.mark.slow  # ~55 s cold
 def test_lid_task_quant_serving_path():
     """LidASRTask(quant_dot='int8') builds; its infer_fn runs on the same
     variables an exact task initialized (serving: same checkpoint, int8
@@ -237,6 +240,7 @@ def test_lid_task_quant_serving_path():
     )
 
 
+@pytest.mark.slow  # ~76 s cold (QAT fwd+bwd compile)
 def test_qat_training_loss_drops():
     """int8_ste end-to-end: a tiny joint model trains through the
     quantized forward (STE backward) — the QAT recipe's gradient path

@@ -72,6 +72,9 @@ def _feeder(ds, batch=4, seed=0):
 
 
 class TestLidASRTask:
+    @pytest.mark.slow  # full fit+eval+infer compile ~166 s cold on 1 CPU;
+    # default-gate LidASR coverage: bn_update/normalize_scores here, the
+    # CE-task [linear] full fit below, Trainer.fit in test_trainer.py
     def test_fit_and_val_metrics(self, corpus):
         ds, toks, lang2index, lang2vocab = corpus
         task = LidASRTask(
@@ -184,7 +187,10 @@ class TestLidASRTask:
 
 
 class TestLidCrossEntropyTask:
-    @pytest.mark.parametrize("backend", ["xvector", "linear"])
+    @pytest.mark.parametrize("backend", [
+        pytest.param("xvector", marks=pytest.mark.slow),  # ~49 s cold
+        "linear",  # the default-gate full-fit representative (~13 s)
+    ])
     def test_fit_and_metrics(self, corpus, backend):
         ds, toks, lang2index, lang2vocab = corpus
         task = LidCrossEntropyTask(

@@ -226,6 +226,8 @@ class TestScanLayers:
                 m1.apply({"params": p1}, x, lens, only_last=False))
             np.testing.assert_allclose(y1, y0, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow  # ~32 s cold (scan bwd compile); the scan parity
+    # tests keep the default coverage
     def test_train_mode_grads_all_layers(self):
         """Masking + dropout rngs + grads through the scanned stack."""
         _, m1 = self._models()
