@@ -946,24 +946,25 @@ def main() -> None:
             _RESULTS[stage] = {"error": "budget exhausted"}
             continue
         if needs_accel and healthy is not True:
-            # probe-loop while budget allows: absorbs worker recovery lag.
-            # Gate matches the stage guard (45 s) so a healthy chip with a
-            # thin-but-usable budget still gets its stage; back off between
-            # fast-failing probes instead of respawning in a tight loop.
-            while _remaining() > 45.0:
-                t_p = time.monotonic()
-                payload, _ = _run_child(
-                    "probe", min(150.0, _remaining() - 30.0)
-                )
-                if payload and payload.get("ok"):
-                    healthy = True
-                    break
-                healthy = False
-                if time.monotonic() - t_p < 20.0 and _remaining() > 90.0:
-                    time.sleep(20.0)
-            if healthy is not True:
-                _RESULTS[stage] = {"error": "chip unavailable"}
-                continue
+            # ONE patient probe, not a kill-retry loop.  Measured
+            # 2026-08-20: a wedged worker recovered in ~103 s *inside a
+            # single connection attempt*, while the old loop's 150 s-cap
+            # kills re-wedged it every cycle (killing a client
+            # mid-handshake restarts the 5-15 min recovery clock —
+            # BENCH_COLD_r4.md), turning one wedge into a whole-budget
+            # outage (BENCH r5 dry run: 470 s of failed probes).
+            payload, _ = _run_child(
+                "probe", min(400.0, _remaining() - 30.0)
+            )
+            healthy = bool(payload and payload.get("ok"))
+            if not healthy:
+                # the patient attempt failed: the worker is down for
+                # longer than this budget can absorb — fail the remaining
+                # device stages fast instead of churning more kills
+                for s2, _c2, na2 in stages:
+                    if na2 and s2 not in _RESULTS:
+                        _RESULTS[s2] = {"error": "chip unavailable"}
+                break
         t0 = time.monotonic()
         payload, err = _run_child(stage, min(cap, _remaining() - 15.0))
         _TIMINGS[stage] = round(time.monotonic() - t0, 1)

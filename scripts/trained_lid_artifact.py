@@ -38,7 +38,8 @@ from eval_chip_validate import run_phase  # noqa: E402  (subprocess + retry)
 from synth_corpus import (  # noqa: E402
     SR, make_corpus, write_lms, write_noises)
 
-EPOCHS = 40  # v2-corpus runs plateaued by epoch ~24; 40 leaves margin
+EPOCHS = int(os.environ.get("TRAINED_LID_EPOCHS", "40"))
+# v2-corpus runs plateaued by epoch ~24; 40 leaves margin
 # while fitting the chip window (64 epochs ≈ 75 min on the tunneled chip)
 
 
@@ -107,10 +108,16 @@ def main() -> None:
     if reuse and os.path.exists(ckpt):
         report["phases"]["train"] = {"rc": 0, "wall_s": 0.0, "reused": root}
     else:
-        make_corpus(root, n_train=96, n_val=24)
+        # corpus generation is ~6 min of single-core DSP; when retrying
+        # after a wedged-worker kill (chip findings r5) the reuse root
+        # already holds it — regenerate only what is missing
+        if not os.path.exists(os.path.join(root, "cc", "train.txt")):
+            make_corpus(root, n_train=96, n_val=24)
         write_config(conf_dir, root)
-        write_noises(noise_dir)
-        write_lms(lm_dir)
+        if not os.path.isdir(noise_dir):
+            write_noises(noise_dir)
+        if not os.path.isdir(lm_dir):
+            write_lms(lm_dir)
         rc, wall, _ = run_phase(
             ["speechlid_tpu.cli.main_lid", "--config-dir", conf_dir,
              "--config-name", "trained_lid", f"exp_dir={exp_dir}"],
