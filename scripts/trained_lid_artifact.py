@@ -138,11 +138,15 @@ def main() -> None:
             "--noise-dir", noise_dir, "--lm-dir", lm_dir,
             "--kenlm-threshold", "0.15"]
 
-    # clean + a per-noise SNR ladder (monotonicity evidence)
+    # clean + a per-noise SNR ladder (monotonicity evidence); both axes
+    # env-trimmable so a thin chip window still yields a complete report
+    noises = tuple(os.environ.get(
+        "TRAINED_LID_NOISES", "white,babble,factory1").split(","))
+    snrs = tuple(float(s) for s in os.environ.get(
+        "TRAINED_LID_SNRS", "15,10,5,0,-5").split(","))
+    cell_timeout = int(os.environ.get("TRAINED_LID_CELL_TIMEOUT", "900"))
     cells = [(None, None)] + [
-        (snr, noise)
-        for noise in ("white", "babble", "factory1")
-        for snr in (15.0, 10.0, 5.0, 0.0, -5.0)
+        (snr, noise) for noise in noises for snr in snrs
     ]
     rows, failed, retried = [], 0, 0
     t_sweep = time.perf_counter()
@@ -151,7 +155,8 @@ def main() -> None:
         if snr is not None:
             cmd += ["--snr", str(snr), "--noise", noise]
         log = os.path.join(out_dir, f"cell_{ci}.log")
-        rc, wall, retries = run_phase(cmd, log, timeout=900, retries=1)
+        rc, wall, retries = run_phase(cmd, log, timeout=cell_timeout,
+                                      retries=1)
         retried += retries
         if rc != 0:
             failed += 1
@@ -216,7 +221,7 @@ def main() -> None:
             f"{clean['eer_true']:.3f}, arbitration fired on "
             f"{clean['lm_arbitrated']}/{clean['n_utts']} clean utterances."
         )
-    for noise in ("white", "babble", "factory1"):
+    for noise in noises:
         ladder = [r for r in rows if r["noise"] == noise]
         ladder.sort(key=lambda r: -r["snr"])
         accs = [r["acc"] for r in ladder]
