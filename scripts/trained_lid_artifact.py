@@ -160,24 +160,34 @@ def main() -> None:
         retried += retries
         if rc != 0:
             failed += 1
-            continue
-        for line in reversed(open(log).read().splitlines()):
-            if line.startswith("{"):
-                rows.append({"snr": snr, "noise": noise or "clean",
-                             **json.loads(line)})
-                break
         else:
-            failed += 1
-    report["phases"]["sweep"] = {
-        "rc": 0 if failed == 0 else 1,
-        "wall_s": round(time.perf_counter() - t_sweep, 1),
-        "retries": retried, "cells_failed": failed,
-    }
+            for line in reversed(open(log).read().splitlines()):
+                if line.startswith("{"):
+                    rows.append({"snr": snr, "noise": noise or "clean",
+                                 **json.loads(line)})
+                    break
+            else:
+                failed += 1
+        # write the report INCREMENTALLY after every cell: a driver kill
+        # (round deadline, wedged worker) must not discard the cells that
+        # DID land — chip findings r5
+        report["phases"]["sweep"] = {
+            "rc": 0 if failed == 0 else 1,
+            "wall_s": round(time.perf_counter() - t_sweep, 1),
+            "retries": retried, "cells_failed": failed,
+            "cells_done": ci + 1, "cells_total": len(cells),
+        }
+        write_report(date, report, metrics, rows, noises, failed, retried)
+    print(json.dumps({"clean": next(
+        (r for r in rows if r["noise"] == "clean"), None),
+        **report["phases"]}, indent=1), flush=True)
 
-    # ------------------------------------------------------------- report
-    import jax
 
-    platform = jax.devices()[0].platform
+def write_report(date, report, metrics, rows, noises, failed, retried):
+    # the sweep subprocesses carry the device; the parent must NOT dial
+    # the tunnel (jax.devices() here once hung the report on a wedged
+    # worker) — the platform is pinned by the phase env instead
+    platform = os.environ.get("TRAINED_LID_PLATFORM", "axon")
     clean = next((r for r in rows if r["noise"] == "clean"), None)
     val = [m for m in metrics if "val_acc" in m]
     acc_curve = " → ".join(f"{m['val_acc']:.3f}" for m in val)
