@@ -201,12 +201,20 @@ def main():
     # seeds vary BOTH data order (MultiBatchSampler) and augmentation
     # draws; the model init is pinned by Trainer(seed=0) in train_arm, so
     # replicate spread isolates data/aug stochasticity.
-    results = {
-        arm: [train_arm(f"{arm}/s{seed}", root, make_augmentor(arm, seed),
-                        seed)
-              for seed in SEEDS]
-        for arm in arms
-    }
+    # stream each replicate to disk as it lands: on this box a full
+    # 3-arm × 3-seed matrix is hours of single-core wall, and a driver
+    # kill must not discard finished arms (chip findings r5)
+    stream = os.environ.get("AUG_EQUIV_STREAM",
+                            "/tmp/aug_equiv_results.jsonl")
+    results = {}
+    for arm in arms:
+        results[arm] = []
+        for seed in SEEDS:
+            r = train_arm(f"{arm}/s{seed}", root,
+                          make_augmentor(arm, seed), seed)
+            results[arm].append(r)
+            with open(stream, "a") as f:
+                f.write(json.dumps({"arm": arm, "seed": seed, **r}) + "\n")
 
     keys = ("val_acc", "eer_true", "val_wer", "avg_val_loss")
     stats = {
